@@ -1,0 +1,96 @@
+"""Parity tests for the separable weight-matrix resizers against cv2 / torch,
+the exact libraries the reference uses (dpt.py:213, dpt.py:196, blocks.py:144,
+dinov2.py:199-205)."""
+
+import cv2
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from vr_video_generator_tpu.ops.preprocess import network_input_size, preprocess_frames
+from vr_video_generator_tpu.ops.resize import (
+    resize_area_cv2,
+    resize_bicubic,
+    resize_bilinear,
+)
+
+
+@pytest.mark.parametrize("in_hw,out_hw", [
+    ((1080, 1920), (518, 924)),   # 1080p -> depth-net input (pure downscale)
+    ((720, 1280), (518, 924)),    # 720p  -> mixed: H down, W down
+    ((480, 854), (518, 924)),     # 480p  -> upscale -> cv2 falls back to linear
+    ((64, 48), (32, 24)),         # integer downscale
+    ((100, 77), (53, 41)),        # awkward fractional downscale
+])
+def test_area_matches_cv2(rng, in_hw, out_hw):
+    img = rng.random((in_hw[0], in_hw[1], 3), dtype=np.float32)
+    ours = np.asarray(resize_area_cv2(img, out_hw))
+    ref = cv2.resize(img, (out_hw[1], out_hw[0]), interpolation=cv2.INTER_AREA)
+    assert np.abs(ours - ref).max() < 1e-4
+
+
+@pytest.mark.parametrize("in_hw,out_hw", [
+    ((518, 924), (1080, 1920)),   # depth upsample path (dpt.py:196)
+    ((37, 37), (37, 66)),
+    ((17, 23), (40, 51)),
+])
+def test_bicubic_align_corners_matches_torch(rng, in_hw, out_hw):
+    img = rng.random((1, 1, in_hw[0], in_hw[1]), dtype=np.float32)
+    ref = F.interpolate(torch.from_numpy(img), out_hw, mode="bicubic",
+                        align_corners=True).numpy()
+    ours = np.asarray(resize_bicubic(img[0, 0], out_hw, align_corners=True,
+                                     h_axis=0, w_axis=1))
+    assert np.abs(ours - ref[0, 0]).max() < 2e-4
+
+
+def test_bicubic_scale_factor_matches_torch(rng):
+    # DINOv2 pos-embed interpolation: scale_factor mode, align_corners=False,
+    # with the 0.1 offset quirk (reference dinov2.py:194-205).
+    pos = rng.random((1, 64, 37, 37), dtype=np.float32)
+    w0, h0 = 37 + 0.1, 66 + 0.1
+    sx, sy = w0 / 37.0, h0 / 37.0
+    ref = F.interpolate(torch.from_numpy(pos), scale_factor=(sx, sy),
+                        mode="bicubic", align_corners=False).numpy()
+    out_hw = ref.shape[-2:]
+    ours = np.asarray(resize_bicubic(pos, out_hw, align_corners=False,
+                                     scale_hw=(sx, sy), h_axis=-2, w_axis=-1))
+    assert np.abs(ours - ref).max() < 1e-4
+
+
+@pytest.mark.parametrize("in_hw,out_hw", [
+    ((37, 66), (74, 132)),        # fusion-block x2 (blocks.py:144)
+    ((148, 264), (518, 924)),     # final x14-ish (dpt.py:147)
+    ((5, 7), (9, 16)),
+])
+def test_bilinear_align_corners_matches_torch(rng, in_hw, out_hw):
+    img = rng.random((2, 3, in_hw[0], in_hw[1]), dtype=np.float32)
+    ref = F.interpolate(torch.from_numpy(img), out_hw, mode="bilinear",
+                        align_corners=True).numpy()
+    ours = np.asarray(resize_bilinear(img, out_hw, align_corners=True,
+                                      h_axis=-2, w_axis=-1))
+    assert np.abs(ours - ref).max() < 1e-4
+
+
+@pytest.mark.parametrize("hw,expected", [
+    ((1080, 1920), (518, 924)),
+    ((2160, 3840), (518, 924)),
+    ((480, 854), (518, 924)),
+    ((518, 518), (518, 518)),
+    ((700, 700), (518, 518)),
+])
+def test_network_input_size(hw, expected):
+    # Oracle: the reference Resize.get_size policy (util/transform.py:62-107).
+    assert network_input_size(*hw) == expected
+
+
+def test_preprocess_matches_reference_chain(rng):
+    # Full chain vs cv2+numpy reimplementation of image2tensor (dpt.py:204-228).
+    frame = rng.integers(0, 256, (270, 480, 3), dtype=np.uint8)
+    net_hw = network_input_size(270, 480)
+    ours = np.asarray(preprocess_frames(frame, net_hw))
+
+    img = frame.astype(np.float64) / 255.0
+    img = cv2.resize(img, (net_hw[1], net_hw[0]), interpolation=cv2.INTER_AREA)
+    img = (img - [0.485, 0.456, 0.406]) / [0.229, 0.224, 0.225]
+    assert np.abs(ours - img).max() < 1e-4

@@ -1,0 +1,175 @@
+"""Configuration dataclasses — single source of truth for all knobs.
+
+Mirrors the reference's argparse surface (reference PredictAndGenerate.py:327-363,
+15 flags) plus the TPU-build's static compilation knobs. The reference's config
+IS its command line (SURVEY.md §5); here the CLI (cli.py) parses into these
+dataclasses so library users get a typed API while CLI users keep flag parity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+# Per-encoder depth rescale constants; the reference applies these right after
+# inference so every encoder lands on a ~[0, 14] depth range before the warp's
+# /14 normalisation (reference PredictAndGenerate.py:27-34).
+DEPTH_SCALERS = {
+    "vits": 1.618,
+    "vitb": 0.8,
+    "vitl": 0.0208,
+    "vitg": 1.0,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class StereoConfig:
+    """Knobs of the stereo synthesis core (reference PredictAndGenerate.py:63-198)."""
+
+    # Max foreground (pop-out) disparity as a fraction of frame height
+    # (reference flag --offset_fg, default 0.025).
+    offset_fg: float = 0.025
+    # Max background (push-in) disparity, opposite sign (--offset_bg, -0.01).
+    offset_bg: float = -0.01
+    # Pixel-shift difference between adjacent depth planes (--offset_step_size).
+    offset_step_size: int = 1
+    # Number of previous raw depth maps blended into the current frame
+    # (reference SbsProcessor.depth_dampening_count, :72).
+    depth_dampening_count: int = 2
+    # Geometric decay of the dampening weights (:73-80): weights are
+    # 0.3, 0.3*0.4, ... over past frames; current frame takes the residual.
+    depth_dampening_ratio: float = 0.4
+    depth_dampening_initial_value: float = 0.3
+    # Gaussian hole-fill sigma (reference SbsProcessor.sigmaboi, :84).
+    sigma: float = 3.0
+    # Static upper bound on ceil(depth.max()) used to size the padded plane
+    # table. Encoders are rescaled to a ~[0,14] range (DEPTH_SCALERS), so 24
+    # is generous; raising it only costs a larger (masked) plane axis.
+    limit_step_cap: int = 24
+
+    def normalized(self) -> "StereoConfig":
+        """Force offset_fg/offset_bg to opposite signs like the reference's
+        sign-sanity fixup (reference PredictAndGenerate.py:387-393)."""
+        fg, bg = self.offset_fg, self.offset_bg
+        if bg * fg > 0:
+            if bg >= 0:
+                bg = -bg
+            else:
+                fg = -fg
+        return dataclasses.replace(self, offset_fg=fg, offset_bg=bg)
+
+    def max_planes(self, height: int) -> int:
+        """Static bound on the per-frame cutoff-plane count.
+
+        The reference builds a variable-length ``cutoff_list`` per frame from
+        ``offset_range = [bg, fg] * H * ceil(depth.max())/14``
+        (PredictAndGenerate.py:101-118); we pad to this bound so jit compiles
+        one program per video resolution.
+        """
+        cfg = self.normalized()
+        r1 = cfg.offset_fg * height * self.limit_step_cap / 14.0
+        r0 = cfg.offset_bg * height * self.limit_step_cap / 14.0
+        n_neg = int(math.ceil(-r0 / max(cfg.offset_step_size, 1))) + 1
+        n_pos = int(math.ceil(r1 / max(cfg.offset_step_size, 1))) + 1
+        return n_neg + n_pos + 2
+
+    @property
+    def dampening_weights(self) -> Tuple[float, ...]:
+        """(w_current, w_t-1, w_t-2, ...) exactly as the reference derives them
+        (PredictAndGenerate.py:74-80,137-142)."""
+        t = self.depth_dampening_initial_value
+        past = []
+        for _ in range(self.depth_dampening_count):
+            past.append(t)
+            t *= self.depth_dampening_ratio
+        current = 1.0 - sum(past)
+        return (current, *past)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Depth-Anything-V2 model family configuration.
+
+    Per-size values from the reference model factory
+    (reference SupportFunction.py:158-168) and DINOv2 constructors
+    (reference depth_anything_v2/dinov2.py:339-415, dpt.py:166-171).
+    """
+
+    encoder: str = "vits"
+    embed_dim: int = 384
+    depth: int = 12
+    num_heads: int = 6
+    mlp_ratio: float = 4.0
+    features: int = 64
+    out_channels: Tuple[int, int, int, int] = (48, 96, 192, 384)
+    intermediate_layers: Tuple[int, int, int, int] = (2, 5, 8, 11)
+    patch_size: int = 14
+    pretrain_img_size: int = 518  # pos-embed grid = 37x37 (+1 cls)
+    layerscale_init: float = 1.0
+    interpolate_offset: float = 0.1  # DINOv2 pos-embed interpolation quirk
+    ffn_layer: str = "mlp"  # "swiglufused" for vitg
+    depth_scaler: float = 1.618
+
+    @staticmethod
+    def for_encoder(encoder: str) -> "ModelConfig":
+        common = dict(patch_size=14, pretrain_img_size=518, layerscale_init=1.0,
+                      interpolate_offset=0.1)
+        table = {
+            "vits": dict(embed_dim=384, depth=12, num_heads=6, features=64,
+                         out_channels=(48, 96, 192, 384),
+                         intermediate_layers=(2, 5, 8, 11), ffn_layer="mlp"),
+            "vitb": dict(embed_dim=768, depth=12, num_heads=12, features=128,
+                         out_channels=(96, 192, 384, 768),
+                         intermediate_layers=(2, 5, 8, 11), ffn_layer="mlp"),
+            "vitl": dict(embed_dim=1024, depth=24, num_heads=16, features=256,
+                         out_channels=(256, 512, 1024, 1024),
+                         intermediate_layers=(4, 11, 17, 23), ffn_layer="mlp"),
+            "vitg": dict(embed_dim=1536, depth=40, num_heads=24, features=384,
+                         out_channels=(1536, 1536, 1536, 1536),
+                         intermediate_layers=(9, 19, 29, 39),
+                         ffn_layer="swiglufused"),
+        }
+        if encoder not in table:
+            raise ValueError(f"unknown encoder {encoder!r}; expected one of {sorted(table)}")
+        return ModelConfig(encoder=encoder, depth_scaler=DEPTH_SCALERS[encoder],
+                           **common, **table[encoder])
+
+
+@dataclasses.dataclass(frozen=True)
+class RunConfig:
+    """Full pipeline run configuration — superset of the reference's 15 CLI
+    flags (reference PredictAndGenerate.py:327-363) plus TPU-build knobs."""
+
+    # --- reference flag parity ---
+    debug_dir: str = "./Debug/"
+    subclip_dir: str = "./Subclip/"
+    video_dir: str = "./Videos/Input/input.mp4"
+    output_dir: str = "output.mkv"
+    encoder: str = "vits"
+    encoder_path: str = "./checkpoints/depth_anything_v2_vits.pth"
+    offset_fg: float = 0.025
+    offset_bg: float = -0.01
+    offset_step_size: int = 1
+    num_workers: int = 4          # host-side encode worker processes
+    num_gpu: int = 1              # retained for flag parity; TPU chips come from the mesh
+    num_gpu_workers: int = 1      # retained for flag parity (no server processes on TPU)
+    max_frame_count: int = 15     # frames per subclip (checkpoint granularity)
+    start_frame: int = 0
+    end_frame: int = 99999999999999
+    repair_mode: int = 0
+
+    # --- TPU-build knobs ---
+    batch_size: int = 8           # frames per device step
+    input_size: int = 518         # depth-net target short side (multiple of 14)
+    compute_dtype: str = "bfloat16"
+    mesh_shape: Optional[Tuple[int, ...]] = None  # None -> all devices on 'data'
+    encoder_device: str = "cpu"   # ffmpeg video-encoder selection ('cpu'|'nvidia')
+    warp_impl: str = "auto"       # 'auto' | 'xla' | 'pallas'
+
+    def stereo(self) -> StereoConfig:
+        return StereoConfig(offset_fg=self.offset_fg, offset_bg=self.offset_bg,
+                            offset_step_size=self.offset_step_size).normalized()
+
+    def model(self) -> ModelConfig:
+        return ModelConfig.for_encoder(self.encoder)
