@@ -1,0 +1,81 @@
+"""Golden-parity tests: JAX DINOv2+DPT vs the reference PyTorch model on CPU
+with identical (converted) weights."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from tests.torch_ref import build_torch_model
+from vr_video_generator_tpu.models.convert import convert_state_dict
+from vr_video_generator_tpu.models.depth_anything_v2 import DepthAnythingV2, infer_depth
+from vr_video_generator_tpu.utils.config import ModelConfig
+
+
+@pytest.fixture(scope="module")
+def vits_pair():
+    tmodel = build_torch_model("vits")
+    cfg = ModelConfig.for_encoder("vits")
+    params = convert_state_dict(tmodel.state_dict(), cfg)
+    jmodel = DepthAnythingV2(cfg, dtype=jnp.float32)
+    return tmodel, jmodel, params
+
+
+def test_forward_parity_small_grid(vits_pair):
+    """Core forward on a 70x98 (5x7-patch) input — exercises patch embed,
+    pos-embed interpolation (non-square), all blocks, taps, and the DPT head."""
+    tmodel, jmodel, params = vits_pair
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 70, 98, 3), dtype=np.float32)
+
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    ours = np.asarray(jmodel.apply({"params": params}, jnp.asarray(x)))
+    assert ours.shape == ref.shape
+    scale = max(np.abs(ref).max(), 1e-6)
+    assert np.abs(ours - ref).max() / scale < 2e-3
+
+
+def test_forward_parity_square_518(vits_pair):
+    """518x518 hits the pos-embed identity shortcut (reference dinov2.py:183)."""
+    tmodel, jmodel, params = vits_pair
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, 518, 518, 3), dtype=np.float32).astype(np.float32)
+
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    ours = np.asarray(jmodel.apply({"params": params}, jnp.asarray(x)))
+    scale = max(np.abs(ref).max(), 1e-6)
+    assert np.abs(ours - ref).max() / scale < 2e-3
+
+
+def test_infer_depth_parity(vits_pair):
+    """Full infer chain (preprocess + forward + bicubic upsample + scaler) vs
+    the reference infer_image (dpt.py:190-202) at a reduced input_size."""
+    tmodel, jmodel, params = vits_pair
+    rng = np.random.default_rng(2)
+    frame_rgb = rng.integers(0, 256, (72, 128, 3), dtype=np.uint8)
+
+    with torch.no_grad():
+        # reference takes BGR (it converts BGR->RGB internally, dpt.py:221)
+        ref = tmodel.infer_image(frame_rgb[:, :, ::-1], input_size=126)
+    ref = ref * 1.618  # vits scaler (reference PredictAndGenerate.py:27-28)
+
+    ours = np.asarray(infer_depth(jmodel, params, jnp.asarray(frame_rgb[None]),
+                                  input_size=126))[0]
+    assert ours.shape == ref.shape
+    scale = max(np.abs(ref).max(), 1e-6)
+    assert np.abs(ours - ref).max() / scale < 5e-3
+
+
+def test_jit_and_batch(vits_pair):
+    _, jmodel, params = vits_pair
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, 70, 70, 3), dtype=np.float32)
+    fn = jax.jit(lambda p, v: jmodel.apply({"params": p}, v))
+    out = np.asarray(fn(params, jnp.asarray(x)))
+    assert out.shape == (2, 70, 70)
+    single = np.asarray(fn(params, jnp.asarray(x[:1])))
+    assert np.abs(out[0] - single[0]).max() < 1e-4

@@ -1,0 +1,131 @@
+"""Stereo-core parity tests: JAX warp vs the numpy oracle port of the
+reference algorithm (PredictAndGenerate.py:63-198)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.oracle.warp_oracle import OracleSbs
+from vr_video_generator_tpu.ops.gaussian import gaussian_blur_u8
+from vr_video_generator_tpu.ops.temporal import TemporalState, temporal_scan
+from vr_video_generator_tpu.ops.warp import WarpSpec, build_plane_tables
+from vr_video_generator_tpu.utils.config import StereoConfig
+
+H, W = 72, 128
+
+
+def synth_depth(rng, h=H, w=W, tmax=9.0):
+    """Smooth synthetic depth field in [0, tmax] (vits-like range)."""
+    base = rng.random((h // 8, w // 8))
+    import cv2
+    d = cv2.resize(base, (w, h), interpolation=cv2.INTER_CUBIC)
+    d = (d - d.min()) / max(d.max() - d.min(), 1e-6) * tmax
+    return d.astype(np.float32)
+
+
+def synth_img(rng, h=H, w=W):
+    return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+def test_gaussian_blur_matches_torchvision(rng):
+    try:
+        from torchvision.transforms.v2.functional import gaussian_blur as tv_blur
+    except ImportError:
+        pytest.skip("torchvision not installed; oracle path covers semantics")
+    import torch
+    img = synth_img(rng)
+    ours = np.asarray(gaussian_blur_u8(jnp.asarray(img), (9, 7), 3.0))
+    ref = tv_blur(torch.from_numpy(img).permute(2, 0, 1), [9, 7],
+                  sigma=3.0).permute(1, 2, 0).numpy()
+    assert np.array_equal(ours, ref)
+
+
+def test_gaussian_blur_matches_oracle(rng):
+    img = synth_img(rng)
+    ours = np.asarray(gaussian_blur_u8(jnp.asarray(img), (9, 7), 3.0))
+    ref = OracleSbs().gaussian_blur_u8(img, 9, 7)
+    # float32 vs float64 conv accumulation can flip round-to-nearest by 1
+    assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_plane_tables_match_oracle(rng):
+    cfg = StereoConfig().normalized()
+    oracle = OracleSbs()
+    spec = WarpSpec.create(H, W, cfg)
+    depth = synth_depth(rng)
+
+    cutoff_list, offset_range, step_list, limit_step, offset_x_list = \
+        oracle.get_cutoff(depth)
+
+    r = spec.frame_offset_range(jnp.asarray(depth))  # first frame: no EWMA
+    tables = jax.jit(
+        lambda d, r: build_plane_tables(d, r, cfg, H, spec.max_planes)
+    )(jnp.asarray(depth), r)
+
+    n_full = len(cutoff_list)
+    assert n_full <= spec.max_planes
+    np.testing.assert_allclose(np.asarray(tables.cutoffs)[:n_full],
+                               cutoff_list, rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(tables.offsets)[:n_full],
+                                  offset_x_list)
+    assert np.asarray(tables.plane_valid)[:n_full - 1].all()
+    assert not np.asarray(tables.plane_valid)[n_full - 1:].any()
+    assert int(tables.fill_offset) == offset_x_list[int(n_full * 3 / 5)]
+    assert int(tables.edge_width) == round(offset_x_list[n_full - 2] / 3 * 2)
+
+
+def _run_jax_sequence(imgs, depths, cfg):
+    spec = WarpSpec.create(imgs.shape[1], imgs.shape[2], cfg)
+    state = TemporalState.initial(imgs.shape[1], imgs.shape[2])
+    blended, ranges, state = temporal_scan(jnp.asarray(depths), state, spec)
+    warp = jax.jit(jax.vmap(spec.warp))
+    return np.asarray(warp(jnp.asarray(imgs), blended, ranges)), state
+
+
+def test_warp_sequence_matches_oracle(rng):
+    """3-frame sequence: exercises temporal smoothing, offset-range EWMA,
+    plane compositing, hole fill + blur, edge copy, SBS concat."""
+    cfg = StereoConfig().normalized()
+    oracle = OracleSbs()
+    imgs = np.stack([synth_img(rng) for _ in range(3)])
+    depths = np.stack([synth_depth(rng, tmax=6.0 + 2 * i) for i in range(3)])
+
+    ref = np.stack([oracle.process(imgs[i], depths[i]) for i in range(3)])
+    ours, _ = _run_jax_sequence(imgs, depths, cfg)
+
+    assert ours.shape == ref.shape == (3, H, 2 * W, 3)
+    # Band-boundary pixels may flip under f32-vs-f64 threshold math; demand
+    # near-total exactness and small magnitude elsewhere.
+    mismatch = (ours != ref).any(axis=-1).mean()
+    assert mismatch < 5e-3, f"pixel mismatch fraction {mismatch}"
+    assert np.abs(ours.astype(int) - ref.astype(int)).mean() < 0.5
+
+
+def test_warp_right_half_is_original(rng):
+    cfg = StereoConfig().normalized()
+    imgs = synth_img(rng)[None]
+    depths = synth_depth(rng)[None]
+    ours, _ = _run_jax_sequence(imgs, depths, cfg)
+    np.testing.assert_array_equal(ours[0, :, W:], imgs[0])
+
+
+def test_temporal_state_carries_across_batches(rng):
+    """Splitting a 4-frame sequence into 2+2 batches with carried state must
+    equal the single-batch result (the reference's per-segment state, but
+    without its batch boundaries)."""
+    cfg = StereoConfig().normalized()
+    imgs = np.stack([synth_img(rng) for _ in range(4)])
+    depths = np.stack([synth_depth(rng, tmax=5.0 + i) for i in range(4)])
+
+    full, _ = _run_jax_sequence(imgs, depths, cfg)
+
+    spec = WarpSpec.create(H, W, cfg)
+    state = TemporalState.initial(H, W)
+    outs = []
+    warp = jax.jit(jax.vmap(spec.warp))
+    for lo in (0, 2):
+        blended, ranges, state = temporal_scan(
+            jnp.asarray(depths[lo:lo + 2]), state, spec)
+        outs.append(np.asarray(warp(jnp.asarray(imgs[lo:lo + 2]), blended, ranges)))
+    np.testing.assert_array_equal(np.concatenate(outs), full)

@@ -1,0 +1,174 @@
+"""DINOv2 vision transformer encoder — JAX/Flax, TPU-first.
+
+Functional parity with the reference encoder
+(reference depth_anything_v2/dinov2.py + dinov2_layers/): patch-embed 14x14,
+cls token, bicubic pos-embed interpolation with the 0.1-offset quirk
+(dinov2.py:179-210), pre-norm blocks with LayerScale (block.py:82-107,
+layer_scale.py:16-28), exact-erf GELU MLP (mlp.py:17-41), and intermediate
+layer taps with final-norm + cls-token return (dinov2.py:297-321).
+
+TPU-first choices: NHWC patch conv, one fused QKV projection feeding
+``jax.nn.dot_product_attention`` (XLA picks the fused TPU attention path),
+bf16 activations with f32 LayerNorm/softmax accumulation, static shapes
+throughout (the pos-embed resample is a trace-time weight-matrix matmul,
+ops/resize.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vr_video_generator_tpu.ops.resize import resize_bicubic
+from vr_video_generator_tpu.utils.config import ModelConfig
+
+Dtype = Any
+
+
+class Mlp(nn.Module):
+    """Transformer MLP with exact (erf) GELU — reference dinov2_layers/mlp.py:17-41."""
+
+    hidden_dim: int
+    out_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = jax.nn.gelu(x, approximate=False)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention — reference dinov2_layers/attention.py:29-62.
+
+    The reference scales q by head_dim**-0.5 before the logits matmul; we pass
+    the same scale to the fused attention op. Softmax runs in f32.
+    """
+
+    num_heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, n, c = x.shape
+        head_dim = c // self.num_heads
+        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        out = jax.nn.dot_product_attention(
+            q, k, v, scale=head_dim ** -0.5, implementation="xla")
+        out = out.reshape(b, n, c)
+        return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+
+
+class LayerScale(nn.Module):
+    """Per-channel residual scaling — reference dinov2_layers/layer_scale.py:16-28."""
+
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        gamma = self.param("gamma", nn.initializers.ones, (self.dim,), jnp.float32)
+        return x * gamma.astype(self.dtype)
+
+
+class Block(nn.Module):
+    """Pre-norm transformer block — reference dinov2_layers/block.py:36-107.
+
+    Inference path only (x + ls1(attn(norm1 x)); x + ls2(mlp(norm2 x))); the
+    reference's stochastic-depth branches are train-only and Depth-Anything-V2
+    runs the encoder frozen.
+    """
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
+        h = Attention(self.num_heads, dtype=self.dtype, name="attn")(h.astype(self.dtype))
+        x = x + LayerScale(self.dim, dtype=self.dtype, name="ls1")(h)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
+        h = Mlp(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype,
+                name="mlp")(h.astype(self.dtype))
+        return x + LayerScale(self.dim, dtype=self.dtype, name="ls2")(h)
+
+
+class DinoVisionTransformer(nn.Module):
+    """DINOv2 ViT returning intermediate-layer taps for the DPT head.
+
+    Constructed at img_size=518 / patch 14 / layerscale 1.0 / no registers,
+    matching the reference factory (reference dinov2.py:398-415).
+    """
+
+    cfg: ModelConfig
+    dtype: Dtype = jnp.float32
+
+    def interpolate_pos_encoding(self, pos_embed: jnp.ndarray, ph: int,
+                                 pw: int) -> jnp.ndarray:
+        """Bicubic pos-embed resample to a (ph, pw) patch grid.
+
+        Reference dinov2.py:179-210: scale-factor-mode bicubic with
+        align_corners=False and the +0.1 workaround offset; identity when the
+        grid already matches and the image is square.
+        """
+        n = pos_embed.shape[1] - 1
+        side = int(round(n ** 0.5))
+        if ph == pw == side:
+            return pos_embed
+        cls_pos = pos_embed[:, :1].astype(jnp.float32)
+        patch_pos = pos_embed[:, 1:].astype(jnp.float32)
+        off = self.cfg.interpolate_offset
+        sh, sw = (ph + off) / side, (pw + off) / side
+        grid = patch_pos.reshape(1, side, side, -1)
+        grid = resize_bicubic(grid, (ph, pw), align_corners=False,
+                              scale_hw=(sh, sw), h_axis=1, w_axis=2)
+        return jnp.concatenate(
+            [cls_pos, grid.reshape(1, ph * pw, -1)], axis=1)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 take_layers: Sequence[int]) -> Tuple[Tuple[jnp.ndarray, jnp.ndarray], ...]:
+        """x: (B, H, W, 3) normalized, H/W multiples of 14. Returns a tuple of
+        (patch_tokens (B, ph*pw, D), cls_token (B, D)) per tapped layer, each
+        with the final LayerNorm applied (reference dinov2.py:309-312)."""
+        cfg = self.cfg
+        b, h, w, _ = x.shape
+        ph, pw = h // cfg.patch_size, w // cfg.patch_size
+
+        # Patch embedding: 14x14/s14 conv (reference patch_embed.py:26-89).
+        x = nn.Conv(cfg.embed_dim, (cfg.patch_size, cfg.patch_size),
+                    strides=(cfg.patch_size, cfg.patch_size), padding="VALID",
+                    dtype=self.dtype, name="patch_embed")(x.astype(self.dtype))
+        x = x.reshape(b, ph * pw, cfg.embed_dim)
+
+        cls_token = self.param("cls_token", nn.initializers.zeros,
+                               (1, 1, cfg.embed_dim), jnp.float32)
+        grid = cfg.pretrain_img_size // cfg.patch_size
+        pos_embed = self.param("pos_embed", nn.initializers.normal(0.02),
+                               (1, grid * grid + 1, cfg.embed_dim), jnp.float32)
+
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls_token.astype(self.dtype), (b, 1, cfg.embed_dim)), x],
+            axis=1)
+        pos = self.interpolate_pos_encoding(pos_embed, ph, pw)
+        x = x + pos.astype(self.dtype)
+
+        take = set(take_layers)
+        final_norm = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")
+        outputs = []
+        for i in range(cfg.depth):
+            x = Block(cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio,
+                      dtype=self.dtype, name=f"block{i}")(x)
+            if i in take:
+                tapped = final_norm(x).astype(self.dtype)
+                outputs.append((tapped[:, 1:], tapped[:, 0]))
+        return tuple(outputs)

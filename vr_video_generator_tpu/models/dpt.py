@@ -1,0 +1,146 @@
+"""DPT decoder head — JAX/Flax, NHWC, TPU-first.
+
+Parity with the reference head (reference depth_anything_v2/dpt.py:38-150 and
+util/blocks.py): per-tap 1x1 projection, resize ladder (x4/x2/identity/half),
+scratch 3x3 convs to a common width, four FeatureFusionBlock refinenets
+top-down with bilinear align_corners=True upsampling, and the two output
+convs ending in ReLU depth.
+
+All spatial resizes are static-shape separable matmuls (ops/resize.py); the
+k=s ConvTranspose upsamplers are expressed as einsum + reshape (a pure MXU
+matmul) instead of a transposed convolution.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from vr_video_generator_tpu.ops.resize import resize_bilinear
+from vr_video_generator_tpu.utils.config import ModelConfig
+
+Dtype = Any
+
+
+class PixelShuffleUpsample(nn.Module):
+    """ConvTranspose2d with kernel_size == stride == r, padding 0.
+
+    For k=s transposed convolution every output pixel receives exactly one
+    (input pixel, tap) contribution, so it factors into a dense map
+    C -> r*r*O followed by a depth-to-space reshape — one big matmul on the
+    MXU. Mirrors reference dpt.py:61-73 resize_layers[0]/[1].
+    Param layout: kernel (r, r, C, O) where torch's ConvTranspose2d weight is
+    (C, O, r, r).
+    """
+
+    out_ch: int
+    rate: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        r = self.rate
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (r, r, c, self.out_ch), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.out_ch,), jnp.float32)
+        y = jnp.einsum("bhwc,ijco->bhiwjo", x.astype(self.dtype),
+                       kernel.astype(self.dtype))
+        y = y.reshape(b, h * r, w * r, self.out_ch)
+        return y + bias.astype(self.dtype)
+
+
+class ResidualConvUnit(nn.Module):
+    """relu-conv-relu-conv + skip — reference util/blocks.py:29-80 (no BN)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        out = nn.relu(x)
+        out = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
+                      name="conv1")(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
+                      name="conv2")(out)
+        return out + x
+
+
+class FeatureFusionBlock(nn.Module):
+    """Top-down refinenet — reference util/blocks.py:83-148.
+
+    One input: rcu2 -> upsample -> 1x1 out_conv.
+    Two inputs: x + rcu1(skip) first. Upsample target is the static
+    ``out_hw`` (or exact x2 when None), bilinear align_corners=True.
+    """
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, skip: jnp.ndarray | None = None,
+                 out_hw: Tuple[int, int] | None = None) -> jnp.ndarray:
+        if skip is not None:
+            x = x + ResidualConvUnit(self.features, dtype=self.dtype,
+                                     name="rcu1")(skip)
+        x = ResidualConvUnit(self.features, dtype=self.dtype, name="rcu2")(x)
+        if out_hw is None:
+            out_hw = (x.shape[-3] * 2, x.shape[-2] * 2)
+        x = resize_bilinear(x, out_hw, align_corners=True).astype(self.dtype)
+        return nn.Conv(self.features, (1, 1), dtype=self.dtype, name="out_conv")(x)
+
+
+class DPTHead(nn.Module):
+    """Reference dpt.py:38-150 (use_clstoken=False path, as the reference
+    always constructs it — dpt.py:176)."""
+
+    cfg: ModelConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, taps: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],
+                 ph: int, pw: int) -> jnp.ndarray:
+        cfg = self.cfg
+        feats = cfg.features
+        out = []
+        for i, (tokens, _cls) in enumerate(taps):
+            b = tokens.shape[0]
+            x = tokens.reshape(b, ph, pw, tokens.shape[-1]).astype(self.dtype)
+            x = nn.Conv(cfg.out_channels[i], (1, 1), dtype=self.dtype,
+                        name=f"project{i}")(x)
+            if i == 0:
+                x = PixelShuffleUpsample(cfg.out_channels[0], 4,
+                                         dtype=self.dtype, name="resize0")(x)
+            elif i == 1:
+                x = PixelShuffleUpsample(cfg.out_channels[1], 2,
+                                         dtype=self.dtype, name="resize1")(x)
+            elif i == 3:
+                x = nn.Conv(cfg.out_channels[3], (3, 3), strides=2, padding=1,
+                            dtype=self.dtype, name="resize3")(x)
+            out.append(x)
+
+        rn = [nn.Conv(feats, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
+                      name=f"layer{i + 1}_rn")(out[i]) for i in range(4)]
+
+        path4 = FeatureFusionBlock(feats, dtype=self.dtype, name="refinenet4")(
+            rn[3], out_hw=rn[2].shape[1:3])
+        path3 = FeatureFusionBlock(feats, dtype=self.dtype, name="refinenet3")(
+            path4, rn[2], out_hw=rn[1].shape[1:3])
+        path2 = FeatureFusionBlock(feats, dtype=self.dtype, name="refinenet2")(
+            path3, rn[1], out_hw=rn[0].shape[1:3])
+        path1 = FeatureFusionBlock(feats, dtype=self.dtype, name="refinenet1")(
+            path2, rn[0])
+
+        x = nn.Conv(feats // 2, (3, 3), padding=1, dtype=self.dtype,
+                    name="output_conv1")(path1)
+        x = resize_bilinear(x, (ph * cfg.patch_size, pw * cfg.patch_size),
+                            align_corners=True).astype(self.dtype)
+        x = nn.Conv(32, (3, 3), padding=1, dtype=self.dtype,
+                    name="output_conv2_0")(x)
+        x = nn.relu(x)
+        x = nn.Conv(1, (1, 1), dtype=self.dtype, name="output_conv2_2")(x)
+        x = nn.relu(x)
+        return x[..., 0]

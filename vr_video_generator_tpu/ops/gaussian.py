@@ -1,0 +1,64 @@
+"""Separable Gaussian blur with torchvision parity.
+
+The reference smooths occlusion-fill pixels with
+``torchvision.transforms.v2.functional.gaussian_blur(img_chw, (2k+3, 2k+1),
+sigma=3)`` (reference PredictAndGenerate.py:191-194; k = round(0.0036*H),
+:165). torchvision builds two 1-D kernels (kernel_size[0] = width-axis,
+kernel_size[1] = height-axis), pads with reflect, convolves, and rounds back
+to the integer dtype. Reproduced here as two depthwise 1-D convolutions.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+@functools.lru_cache(maxsize=None)
+def gaussian_kernel1d(ksize: int, sigma: float) -> np.ndarray:
+    """torchvision _get_gaussian_kernel1d: sampled pdf, normalized."""
+    x = np.linspace(-(ksize - 1) * 0.5, (ksize - 1) * 0.5, ksize)
+    pdf = np.exp(-0.5 * (x / sigma) ** 2)
+    return (pdf / pdf.sum()).astype(np.float32)
+
+
+def _depthwise_1d(x: jnp.ndarray, kernel: np.ndarray, axis: int) -> jnp.ndarray:
+    """Depthwise conv of NHWC ``x`` with a 1-D kernel along H (axis=1) or W
+    (axis=2), reflect padding."""
+    c = x.shape[-1]
+    k = kernel.shape[0]
+    pad = [(0, 0)] * 4
+    pad[axis] = (k // 2, k // 2)
+    x = jnp.pad(x, pad, mode="reflect")
+    if axis == 1:
+        kshape = (k, 1, 1, c)
+    else:
+        kshape = (1, k, 1, c)
+    kern = jnp.broadcast_to(jnp.asarray(kernel).reshape(
+        (k, 1, 1, 1) if axis == 1 else (1, k, 1, 1)), kshape)
+    return lax.conv_general_dilated(
+        x, kern, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
+
+
+def gaussian_blur(img: jnp.ndarray, kernel_wh: Tuple[int, int],
+                  sigma: float) -> jnp.ndarray:
+    """Blur (..., H, W, C) float input; kernel_wh = (kx, ky) torchvision order."""
+    kx, ky = kernel_wh
+    batched = img.ndim == 4
+    x = img if batched else img[None]
+    x = x.astype(jnp.float32)
+    x = _depthwise_1d(x, gaussian_kernel1d(kx, sigma), axis=2)
+    x = _depthwise_1d(x, gaussian_kernel1d(ky, sigma), axis=1)
+    return x if batched else x[0]
+
+
+def gaussian_blur_u8(img_u8: jnp.ndarray, kernel_wh: Tuple[int, int],
+                     sigma: float) -> jnp.ndarray:
+    """uint8 in/out with torchvision's round-half-even + clamp cast."""
+    out = gaussian_blur(img_u8, kernel_wh, sigma)
+    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
