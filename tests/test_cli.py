@@ -1,0 +1,61 @@
+"""CLI flag-surface and UI tests."""
+
+import jax.sharding
+
+from vr_video_generator_tpu.cli import parse_run_config
+from vr_video_generator_tpu.ui.app import (
+    auto_output_name,
+    build_command,
+    _with_auto_output,
+    DEFAULT_FIELDS,
+)
+from vr_video_generator_tpu.utils.config import StereoConfig
+
+
+def test_defaults_match_reference():
+    cfg, allow_random = parse_run_config([])
+    assert cfg.debug_dir == "./Debug/"
+    assert cfg.subclip_dir == "./Subclip/"
+    assert cfg.encoder == "vits"
+    assert cfg.offset_fg == 0.025
+    assert cfg.offset_bg == -0.01
+    assert cfg.offset_step_size == 1
+    assert cfg.num_workers == 4
+    assert cfg.max_frame_count == 15
+    assert cfg.start_frame == 0
+    assert cfg.repair_mode == 0
+    assert not allow_random
+
+
+def test_unknown_flags_ignored():
+    cfg, _ = parse_run_config(["--totally_unknown", "5", "--encoder", "vitb"])
+    assert cfg.encoder == "vitb"
+
+
+def test_offset_sign_fixup():
+    # both positive -> bg flipped (reference PredictAndGenerate.py:387-393)
+    cfg, _ = parse_run_config(["--offset_fg", "0.02", "--offset_bg", "0.01"])
+    assert cfg.offset_bg == -0.01 and cfg.offset_fg == 0.02
+    # both negative -> fg flipped
+    cfg, _ = parse_run_config(["--offset_fg", "-0.02", "--offset_bg", "-0.01"])
+    assert cfg.offset_fg == 0.02 and cfg.offset_bg == -0.01
+
+
+def test_stereo_config_normalization_and_weights():
+    s = StereoConfig(offset_fg=-0.03, offset_bg=-0.01).normalized()
+    assert s.offset_fg == 0.03 and s.offset_bg == -0.01
+    w = s.dampening_weights
+    assert abs(w[0] - 0.58) < 1e-12
+    assert abs(w[1] - 0.3) < 1e-12
+    assert abs(w[2] - 0.12) < 1e-12
+    assert s.max_planes(1080) > 0
+
+
+def test_ui_command_preview():
+    fields = dict(DEFAULT_FIELDS)
+    fields["VideoDir"] = "/tmp/My Movie.mp4"
+    cmd = build_command(_with_auto_output(fields))
+    assert "--VideoDir" in cmd
+    out = cmd[cmd.index("--OutputDir") + 1]
+    assert out == "/tmp/SBS My Movie.mkv"
+    assert auto_output_name("a/b.mp4") == "a/SBS b.mkv"

@@ -1,0 +1,75 @@
+"""Sharded-pipeline tests on the 8-virtual-CPU-device mesh: DP+TP shardings
+compile, execute, and agree with the single-device pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.test_pipeline import TINY, H, W
+from vr_video_generator_tpu.models.depth_anything_v2 import DepthAnythingV2
+from vr_video_generator_tpu.models.factory import random_params
+from vr_video_generator_tpu.parallel.mesh import make_mesh
+from vr_video_generator_tpu.parallel.sharded import ShardedSbsPipeline
+from vr_video_generator_tpu.parallel.sharding import param_specs
+from vr_video_generator_tpu.pipeline import SbsPipeline
+from vr_video_generator_tpu.utils.config import RunConfig
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    model = DepthAnythingV2(TINY, dtype=jnp.float32)
+    return model, random_params(model)
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_param_specs_mark_tp_dims(tiny_model):
+    _, params = tiny_model
+    specs = param_specs(params)
+    qkv = specs["pretrained"]["block0"]["attn"]["qkv"]["kernel"]
+    assert qkv == jax.sharding.PartitionSpec(None, "model")
+    patch = specs["pretrained"]["patch_embed"]["kernel"]
+    assert patch == jax.sharding.PartitionSpec()
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_matches_single_device(tiny_model, mesh_shape, rng):
+    model, params = tiny_model
+    cfg = RunConfig(batch_size=2, input_size=56, compute_dtype="float32")
+    mesh = make_mesh(mesh_shape)
+    n_data, b = mesh_shape[0], 2
+
+    sharded = ShardedSbsPipeline(model, params, H, W, mesh, run_cfg=cfg)
+    frames = rng.integers(0, 256, (n_data * b, H, W, 3), dtype=np.uint8)
+    sbs, states = sharded.step(frames, sharded.initial_state())
+    sbs = np.asarray(sbs)
+    assert sbs.shape == (n_data * b, H, 2 * W, 3)
+
+    # Oracle: every data slot is an independent segment start -> run the
+    # single-device pipeline per slot slice.
+    single = SbsPipeline(model, params, H, W, run_cfg=cfg)
+    for slot in range(n_data):
+        ref, _ = single.step(frames[slot * b:(slot + 1) * b],
+                             single.initial_state())
+        np.testing.assert_array_equal(sbs[slot * b:(slot + 1) * b],
+                                      np.asarray(ref))
+
+
+def test_sharded_state_carries(tiny_model, rng):
+    model, params = tiny_model
+    cfg = RunConfig(batch_size=2, input_size=56, compute_dtype="float32")
+    mesh = make_mesh((4, 2))
+    sharded = ShardedSbsPipeline(model, params, H, W, mesh, run_cfg=cfg)
+    frames = rng.integers(0, 256, (8, H, W, 3), dtype=np.uint8)
+    st = sharded.initial_state()
+    _, st = sharded.step(frames, st)
+    out2, _ = sharded.step(frames, st)
+
+    single = SbsPipeline(model, params, H, W, run_cfg=cfg)
+    s = single.initial_state()
+    _, s = single.step(frames[:2], s)
+    ref2, _ = single.step(frames[:2], s)
+    np.testing.assert_array_equal(np.asarray(out2)[:2], np.asarray(ref2))

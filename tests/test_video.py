@@ -1,0 +1,116 @@
+"""Video I/O tier tests: reader, subclip writer, combiner, integrity checker,
+and the full CLI end-to-end on a synthetic clip (BASELINE config 1 analog:
+CPU-runnable tiny run)."""
+
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+from vr_video_generator_tpu.video.check import check_subclips, parse_clip_name
+from vr_video_generator_tpu.video.combine import combine_clips, sorted_subclips
+from vr_video_generator_tpu.video.reader import VideoReader, probe_video
+from vr_video_generator_tpu.video.writer import SubclipWriter
+
+H, W, FPS = 48, 64, 10.0
+
+
+def write_synthetic_video(path, n_frames, h=H, w=W, fps=FPS):
+    writer = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"),
+                             fps, (w, h))
+    assert writer.isOpened()
+    rng = np.random.default_rng(7)
+    frames = []
+    for i in range(n_frames):
+        frame = np.full((h, w, 3), i * 9 % 256, np.uint8)
+        frame[:, : w // 3] = rng.integers(0, 255, 3, dtype=np.uint8)
+        frames.append(frame)
+        writer.write(frame[:, :, ::-1])
+    writer.release()
+    return frames
+
+
+def test_reader_probe_and_seek(tmp_path):
+    path = tmp_path / "in.mp4"
+    write_synthetic_video(path, 12)
+    fps, n, w, h = probe_video(str(path))
+    assert (n, w, h) == (12, W, H)
+    with VideoReader(str(path), begin=5) as reader:
+        frames = list(reader.frames(5, 12))
+    assert len(frames) == 7
+    assert frames[0].shape == (H, W, 3)
+
+
+def test_subclip_writer_and_checker(tmp_path):
+    subdir = str(tmp_path / "sub") + os.sep
+    writer = SubclipWriter(subdir, FPS, W, H, backend="cv2")
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, (10, H, W, 3), dtype=np.uint8)
+    writer.write_clip(0, list(frames[:6]))
+    writer.write_clip(6, list(frames[6:]))
+    writer.close()
+    assert sorted_subclips(subdir) == ["0_5.mp4", "6_9.mp4"]
+    assert parse_clip_name("6_9.mp4") == (6, 9)
+    assert check_subclips(subdir) == []
+
+
+def test_checker_finds_gap_and_length_issue(tmp_path):
+    subdir = str(tmp_path / "sub") + os.sep
+    writer = SubclipWriter(subdir, FPS, W, H, backend="cv2")
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, (12, H, W, 3), dtype=np.uint8)
+    writer.write_clip(0, list(frames[:4]))
+    writer.write_clip(6, list(frames[6:10]))   # gap: frames 4-5 missing
+    writer.close()
+    # corrupt the name of the second clip to claim a wrong length
+    os.rename(os.path.join(subdir, "6_9.mp4"), os.path.join(subdir, "6_10.mp4"))
+    issues = check_subclips(subdir)
+    kinds = sorted(i.kind for i in issues)
+    assert kinds == ["continuity", "length"]
+    length_issue = next(i for i in issues if i.kind == "length")
+    assert length_issue.repair_range == (6, 11)
+    continuity_issue = next(i for i in issues if i.kind == "continuity")
+    assert continuity_issue.repair_range == (4, 6)
+
+
+def test_combine_clips_cv2_fallback(tmp_path, monkeypatch):
+    # force the no-ffmpeg fallback regardless of host
+    monkeypatch.setenv("PATH", "")
+    subdir = str(tmp_path / "sub") + os.sep
+    writer = SubclipWriter(subdir, FPS, W, H, backend="cv2")
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, (9, H, W, 3), dtype=np.uint8)
+    writer.write_clip(0, list(frames[:5]))
+    writer.write_clip(5, list(frames[5:]))
+    writer.close()
+    out = str(tmp_path / "out.mp4")
+    combine_clips(subdir, str(tmp_path / "orig.mp4"), out, just_combine=1)
+    _, n, w, h = probe_video(out)
+    assert (n, w, h) == (9, W, H)
+
+
+@pytest.mark.slow
+def test_cli_end_to_end(tmp_path, monkeypatch):
+    """Full conversion on a tiny clip with random vits weights at a reduced
+    input size — the CPU-runnable end-to-end slice (SURVEY.md §7 step 3)."""
+    monkeypatch.chdir(tmp_path)
+    video = tmp_path / "in.mp4"
+    write_synthetic_video(video, 14)
+    from vr_video_generator_tpu.cli import main
+
+    rc = main([
+        "--VideoDir", str(video), "--OutputDir", str(tmp_path / "out.mkv"),
+        "--DebugDir", str(tmp_path / "Debug") + os.sep,
+        "--SubClipDir", str(tmp_path / "Subclip") + os.sep,
+        "--Max_Frame_Count", "6", "--batch_size", "4", "--input_size", "56",
+        "--compute_dtype", "float32", "--allow_random_weights",
+        "--unknown_flag_is_ignored", "1",
+    ])
+    assert rc == 0
+    subdir = str(tmp_path / "Subclip") + os.sep
+    clips = sorted_subclips(subdir)
+    assert clips == ["0_5.mp4", "6_11.mp4", "12_13.mp4"]
+    assert check_subclips(subdir) == []
+    _, n, w, h = probe_video(str(tmp_path / "out.mkv"))
+    assert (n, w, h) == (14, 2 * W, H)

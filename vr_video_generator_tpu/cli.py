@@ -1,0 +1,94 @@
+"""Command-line interface — flag parity with the reference's argparse surface.
+
+All 15 reference flags (reference PredictAndGenerate.py:327-363) keep their
+exact names/defaults, unknown flags are ignored via parse_known_args (:365),
+and offset signs get the same sanity fixup (:387-393). TPU-build additions
+(--batch_size, --compute_dtype, --warp_impl, --allow_random_weights) extend
+the surface without breaking reference invocations.
+
+Usage:  python -m vr_video_generator_tpu.cli --VideoDir in.mp4 --OutputDir out.mkv
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List, Optional
+
+from vr_video_generator_tpu.utils.config import RunConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="vr_video_generator_tpu")
+    # --- reference flags (names verbatim) ---
+    p.add_argument("--DebugDir", type=str, default="./Debug/")
+    p.add_argument("--SubClipDir", type=str, default="./Subclip/")
+    p.add_argument("--VideoDir", type=str, default="./Videos/Input/input.mp4")
+    p.add_argument("--OutputDir", type=str, default="output.mkv")
+    p.add_argument("--encoder", type=str, default="vits")
+    p.add_argument("--encoder_path", type=str,
+                   default="./checkpoints/depth_anything_v2_vits.pth")
+    p.add_argument("--offset_fg", type=float, default=0.025)
+    p.add_argument("--offset_bg", type=float, default=-0.01)
+    p.add_argument("--offset_step_size", type=int, default=1)
+    p.add_argument("--Num_Workers", type=int, default=4)
+    p.add_argument("--num_gpu", type=int, default=1)
+    p.add_argument("--Num_GPU_Workers", type=int, default=1)
+    p.add_argument("--Max_Frame_Count", type=int, default=15)
+    p.add_argument("--start_frame", type=int, default=0)
+    p.add_argument("--end_frame", type=int, default=99999999999999)
+    p.add_argument("--repair_mode", type=int, default=0)
+    # --- TPU-build flags ---
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--input_size", type=int, default=518)
+    p.add_argument("--compute_dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--warp_impl", type=str, default="auto",
+                   choices=["auto", "xla", "pallas"])
+    p.add_argument("--encoder_device", type=str, default="cpu",
+                   choices=["cpu", "nvidia"])
+    p.add_argument("--allow_random_weights", action="store_true",
+                   help="run with seeded random model weights when no "
+                        "checkpoint is available (smoke tests/benchmarks)")
+    return p
+
+
+def parse_run_config(argv: Optional[List[str]] = None) -> tuple[RunConfig, bool]:
+    args, unknown = build_parser().parse_known_args(argv)
+    if unknown:
+        print("Discarded arguments: ", unknown)
+
+    offset_fg, offset_bg = args.offset_fg, args.offset_bg
+    if offset_bg * offset_fg > 0:  # sign fixup (reference :387-393)
+        if offset_bg >= 0:
+            offset_bg = -offset_bg
+        else:
+            offset_fg = -offset_fg
+
+    cfg = RunConfig(
+        debug_dir=args.DebugDir, subclip_dir=args.SubClipDir,
+        video_dir=args.VideoDir, output_dir=args.OutputDir,
+        encoder=args.encoder, encoder_path=args.encoder_path,
+        offset_fg=offset_fg, offset_bg=offset_bg,
+        offset_step_size=args.offset_step_size,
+        num_workers=args.Num_Workers, num_gpu=args.num_gpu,
+        num_gpu_workers=args.Num_GPU_Workers,
+        max_frame_count=args.Max_Frame_Count,
+        start_frame=args.start_frame, end_frame=args.end_frame,
+        repair_mode=args.repair_mode, batch_size=args.batch_size,
+        input_size=args.input_size, compute_dtype=args.compute_dtype,
+        warp_impl=args.warp_impl, encoder_device=args.encoder_device,
+    )
+    return cfg, args.allow_random_weights
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    cfg, allow_random = parse_run_config(argv)
+    from vr_video_generator_tpu.runtime.orchestrator import run
+
+    run(cfg, allow_random=allow_random)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

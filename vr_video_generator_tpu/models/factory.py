@@ -15,8 +15,12 @@ from vr_video_generator_tpu.utils.config import ModelConfig
 
 
 def random_params(model: DepthAnythingV2, seed: int = 0,
-                  sample_hw: Tuple[int, int] = (518, 518)):
-    """Randomly initialized params (for tests / benchmarks without weights)."""
+                  sample_hw: Tuple[int, int] = (70, 70)):
+    """Randomly initialized params (for tests / benchmarks without weights).
+
+    Parameter shapes are input-size independent, so a small sample keeps
+    initialization cheap on CPU.
+    """
     x = jnp.zeros((1, *sample_hw, 3), jnp.float32)
     return model.init(jax.random.PRNGKey(seed), x)["params"]
 

@@ -29,8 +29,10 @@ class TemporalState(NamedTuple):
 
     @staticmethod
     def initial(height: int, width: int) -> "TemporalState":
-        z = jnp.zeros((height, width), jnp.float32)
-        return TemporalState(d_prev1=z, d_prev2=z,
+        # Distinct buffers: the pipeline donates the state, and donating one
+        # buffer through two leaves is an error.
+        return TemporalState(d_prev1=jnp.zeros((height, width), jnp.float32),
+                             d_prev2=jnp.zeros((height, width), jnp.float32),
                              offset_range=jnp.zeros((2,), jnp.float32),
                              has_state=jnp.asarray(False))
 
@@ -52,8 +54,10 @@ def temporal_scan(raw_depths: jnp.ndarray, state: TemporalState,
         r_raw = spec.frame_offset_range(blended)
         r = jnp.where(carry.has_state,
                       0.5 * (carry.offset_range + r_raw), r_raw)
+        # Derive from the carried flag (not a fresh constant) so the varying
+        # manual-axes type is preserved under shard_map.
         new = TemporalState(d_prev1=d_raw, d_prev2=d1, offset_range=r,
-                            has_state=jnp.asarray(True))
+                            has_state=carry.has_state | True)
         return new, (blended, r)
 
     state, (blended, ranges) = jax.lax.scan(body, state, raw_depths)

@@ -1,0 +1,76 @@
+"""The fused per-batch SBS pipeline — one jitted program per video geometry.
+
+Replaces the reference's entire process fleet (GPU inference workers +
+segment workers + Queue plumbing, reference PredictAndGenerate.py:23-61,
+200-321) with a single compiled step over a batch of frames:
+
+    uint8 RGB frames (B, H, W, 3)
+      -> preprocess (device: /255, INTER_AREA resize, ImageNet normalize)
+      -> DINOv2+DPT depth forward (bf16, MXU)
+      -> bicubic upsample to source resolution x encoder scaler
+      -> lax.scan temporal EWMA (depth dampening + offset-range smoothing)
+      -> padded cutoff-plane tables + forward warp + hole fill (vmapped)
+      -> SBS concat -> uint8 (B, H, 2W, 3)
+
+The temporal carry (TemporalState) crosses batch boundaries, so a segment
+processed in B-frame batches is bit-identical to one long scan — unlike the
+reference, whose smoothing state silently resets every segment (SURVEY.md §5);
+per-segment reset remains available by reinitializing the state.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vr_video_generator_tpu.models.depth_anything_v2 import DepthAnythingV2, infer_depth
+from vr_video_generator_tpu.models.factory import load_model
+from vr_video_generator_tpu.ops.temporal import TemporalState, temporal_scan
+from vr_video_generator_tpu.ops.warp import WarpSpec
+from vr_video_generator_tpu.utils.config import RunConfig
+
+
+class SbsPipeline:
+    """Single-device pipeline for a fixed (height, width) video geometry."""
+
+    def __init__(self, model: DepthAnythingV2, params, height: int, width: int,
+                 run_cfg: Optional[RunConfig] = None):
+        self.run_cfg = run_cfg or RunConfig(encoder=model.cfg.encoder)
+        self.model = model
+        self.params = params
+        self.height, self.width = height, width
+        self.spec = WarpSpec.create(height, width, self.run_cfg.stereo())
+        self._step = jax.jit(self._step_impl, donate_argnums=(2,))
+
+    @classmethod
+    def create(cls, run_cfg: RunConfig, height: int, width: int,
+               allow_random: bool = False, dtype=None) -> "SbsPipeline":
+        if dtype is None:
+            dtype = jnp.bfloat16 if run_cfg.compute_dtype == "bfloat16" else jnp.float32
+        model, params = load_model(run_cfg.encoder, run_cfg.encoder_path,
+                                   dtype=dtype, allow_random=allow_random)
+        return cls(model, params, height, width, run_cfg=run_cfg)
+
+    def initial_state(self) -> TemporalState:
+        return TemporalState.initial(self.height, self.width)
+
+    def _step_impl(self, params, frames_u8: jnp.ndarray,
+                   state: TemporalState) -> Tuple[jnp.ndarray, TemporalState]:
+        depth = infer_depth(self.model, params, frames_u8,
+                            input_size=self.run_cfg.input_size)
+        blended, ranges, state = temporal_scan(depth, state, self.spec)
+        sbs = jax.vmap(self.spec.warp)(frames_u8, blended, ranges)
+        return sbs, state
+
+    def step(self, frames_u8, state: TemporalState) -> Tuple[jnp.ndarray, TemporalState]:
+        """Process one batch; returns (SBS uint8 (B, H, 2W, 3), carried state)."""
+        return self._step(self.params, jnp.asarray(frames_u8), state)
+
+    def depth_only(self, frames_u8) -> jnp.ndarray:
+        """Depth maps at source resolution (scaled) — debugging/benchmarks."""
+        fn = functools.partial(infer_depth, self.model, self.params,
+                               input_size=self.run_cfg.input_size)
+        return jax.jit(fn)(jnp.asarray(frames_u8))

@@ -1,0 +1,93 @@
+"""Run orchestration: repair modes, directory lifecycle, segment dispatch.
+
+The reference's main_func spawns a process fleet and wires Queues
+(reference PredictAndGenerate.py:273-321); on TPU the depth model lives
+inside the jitted pipeline, so orchestration reduces to: prepare dirs per
+repair_mode (:400-419), run the conversion loop over the requested frame
+range, and combine subclips + audio. Repair parity:
+
+  repair_mode 0: clear debug+subclip dirs, convert everything, combine
+  repair_mode 1: clear debug dir only, convert the given range, no combine
+  repair_mode 2: combine existing subclips with audio
+  repair_mode 3: combine video only (debug)
+
+An extra ``check_and_repair`` entry reruns exactly the broken ranges found
+by video/check.py — the library-form of Check_Clips.py's repair loop.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from vr_video_generator_tpu.pipeline import SbsPipeline
+from vr_video_generator_tpu.utils.config import RunConfig
+from vr_video_generator_tpu.utils.fsutil import create_folder_if_not_exist, remove_all_files
+from vr_video_generator_tpu.utils.logging import WorkerLog
+from vr_video_generator_tpu.video.check import check_subclips
+from vr_video_generator_tpu.video.combine import combine_clips
+from vr_video_generator_tpu.video.reader import VideoReader, probe_video
+from vr_video_generator_tpu.video.writer import SubclipWriter, get_ffmpeg_config
+from vr_video_generator_tpu.runtime.segment import process_segment
+
+
+def convert_range(cfg: RunConfig, begin: int, end: int,
+                  pipeline: Optional[SbsPipeline] = None,
+                  allow_random: bool = False,
+                  log: Optional[WorkerLog] = None) -> int:
+    """Convert frames [begin, end) of cfg.video_dir into subclips."""
+    fps, video_length, width, height = probe_video(cfg.video_dir)
+    end = min(end, video_length)
+    if end <= begin:
+        return 0
+    if pipeline is None:
+        pipeline = SbsPipeline.create(cfg, height, width,
+                                      allow_random=allow_random)
+    _, ffmpeg_config = get_ffmpeg_config(cfg.video_dir, cfg.encoder_device) \
+        if cfg.encoder_device else (None, None)
+    writer = SubclipWriter(cfg.subclip_dir, fps, 2 * width, height,
+                           ffmpeg_config=ffmpeg_config)
+    log = log or WorkerLog(os.path.join(cfg.debug_dir, f"segment_{begin}.txt"))
+    try:
+        with VideoReader(cfg.video_dir, begin=begin) as reader:
+            return process_segment(pipeline, reader, writer, begin, end,
+                                   max_frame_count=cfg.max_frame_count,
+                                   batch_size=cfg.batch_size, log=log)
+    except Exception as e:  # error funnel parity (reference :259-272)
+        log.error(f"Segment {begin} failed", e,
+                  error_path=os.path.join(cfg.debug_dir, "ERROR.txt"))
+        raise
+    finally:
+        writer.close()
+
+
+def run(cfg: RunConfig, allow_random: bool = False) -> None:
+    """Full run with repair_mode dispatch (reference :400-419)."""
+    create_folder_if_not_exist(cfg.debug_dir)
+    create_folder_if_not_exist(cfg.subclip_dir)
+    if cfg.repair_mode != 1:
+        remove_all_files(cfg.debug_dir)
+    if cfg.repair_mode == 0:
+        remove_all_files(cfg.subclip_dir)
+
+    if cfg.repair_mode in (0, 1):
+        convert_range(cfg, cfg.start_frame, cfg.end_frame,
+                      allow_random=allow_random)
+    if cfg.repair_mode in (0, 2):
+        combine_clips(cfg.subclip_dir, cfg.video_dir, cfg.output_dir,
+                      just_combine=0)
+    if cfg.repair_mode == 3:
+        combine_clips(cfg.subclip_dir, cfg.video_dir, cfg.output_dir,
+                      just_combine=1)
+
+
+def check_and_repair(cfg: RunConfig, repair: bool = True,
+                     allow_random: bool = False) -> list:
+    """Integrity-check subclips; optionally regenerate broken ranges
+    (library form of reference Check_Clips.py:15-37)."""
+    issues = check_subclips(cfg.subclip_dir, remove_bad=repair)
+    if repair:
+        for issue in issues:
+            lo, hi = issue.repair_range
+            convert_range(cfg, lo, hi, allow_random=allow_random)
+    return issues

@@ -1,0 +1,107 @@
+"""Segment processing loop — the TPU-native 'nibba_woka'.
+
+The reference's segment worker (reference PredictAndGenerate.py:200-272)
+decodes frame-by-frame, software-pipelines depth against warp, batches
+Max_Frame_Count frames into subclips, and logs progress/errors. Here one
+loop per host does the same with device batches:
+
+  * decode runs on a background thread into a bounded queue (double
+    buffering — the TPU analog of the reference's submit-frame(i+1) /
+    warp(i) overlap, :226-234);
+  * the jitted pipeline step is dispatched asynchronously; device->host
+    readback of batch i overlaps compute of batch i+1;
+  * encode subprocesses overlap everything (SubclipWriter waits on the
+    previous process only when starting the next, :241-242);
+  * decode failures degrade to black frames (:222-225) and errors are
+    captured to the debug dir + ERROR.txt (:259-272).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from vr_video_generator_tpu.pipeline import SbsPipeline
+from vr_video_generator_tpu.utils.logging import ProgressMeter, WorkerLog
+from vr_video_generator_tpu.video.reader import VideoReader
+from vr_video_generator_tpu.video.writer import SubclipWriter
+
+
+def _decode_batches(reader: VideoReader, begin: int, end: int,
+                    batch_size: int, out_q: "queue.Queue") -> None:
+    batch: List[np.ndarray] = []
+    try:
+        for frame in reader.frames(begin, end):
+            batch.append(frame)
+            if len(batch) == batch_size:
+                out_q.put(np.stack(batch))
+                batch = []
+        if batch:
+            out_q.put(np.stack(batch))
+    finally:
+        out_q.put(None)
+
+
+def process_segment(pipeline: SbsPipeline, reader: VideoReader,
+                    writer: SubclipWriter, begin: int, end: int,
+                    max_frame_count: int, batch_size: int = 8,
+                    log: Optional[WorkerLog] = None,
+                    report_every: int = 1) -> int:
+    """Convert frames [begin, end); returns the number of frames written."""
+    log = log or WorkerLog(None)
+    total = end - begin
+    meter = ProgressMeter(total, log)
+    log.write(f"Worker begin from {begin} to {end}")
+
+    batches: "queue.Queue" = queue.Queue(maxsize=2)
+    decoder = threading.Thread(target=_decode_batches,
+                               args=(reader, begin, end, batch_size, batches),
+                               daemon=True)
+    decoder.start()
+
+    state = pipeline.initial_state()
+    pending: List[np.ndarray] = []
+    clip_begin = begin
+    frames_done = 0
+    prev_sbs = None
+    clips_written = 0
+
+    def flush(force: bool) -> None:
+        nonlocal pending, clip_begin, clips_written
+        while len(pending) >= max_frame_count or (force and pending):
+            chunk, pending = pending[:max_frame_count], pending[max_frame_count:]
+            writer.write_clip(clip_begin, chunk)
+            clip_begin += len(chunk)
+            clips_written += 1
+
+    while True:
+        batch = batches.get()
+        if batch is None:
+            break
+        # pad the final short batch to the compiled batch size
+        n_real = batch.shape[0]
+        if n_real < batch_size:
+            pad = np.repeat(batch[-1:], batch_size - n_real, axis=0)
+            batch = np.concatenate([batch, pad], axis=0)
+        sbs_dev, state = pipeline.step(batch, state)
+        if prev_sbs is not None:
+            sbs_np, n_prev = prev_sbs
+            pending.extend(np.asarray(sbs_np)[:n_prev])
+            flush(force=False)
+        prev_sbs = (sbs_dev, n_real)
+        frames_done += n_real
+        if frames_done % (batch_size * report_every) == 0:
+            meter.report(frames_done)
+
+    if prev_sbs is not None:
+        sbs_np, n_prev = prev_sbs
+        pending.extend(np.asarray(sbs_np)[:n_prev])
+    flush(force=True)
+    writer.wait()
+    decoder.join()
+    meter.report(max(frames_done, 1))
+    log.write("Worker ending")
+    return frames_done

@@ -1,0 +1,159 @@
+"""Interactive console front-end — capability parity with the reference GUI.
+
+The reference ships a dearpygui desktop app (reference UserInterface.py):
+a form over all run parameters, a live CLI-command preview, Run/Stop
+buttons that spawn/kill the pipeline subprocess, and a Debug-folder opener.
+A desktop toolkit is out of scope for a server-side TPU framework, so the
+same capabilities are provided as a dependency-free interactive console:
+
+  * parameter form with the same field set and defaults
+    (reference UserInterface.py:30-50);
+  * auto-derived output filename (`auto_update_filename`, :100-104);
+  * command preview string (`update_preview`, :82-99) — config IS the
+    command line, same as the reference;
+  * run/stop of the pipeline as a child process group (psutil-free
+    equivalent of the child-tree kill, :127-140);
+  * debug-folder listing (:263,279).
+
+Run with: python -m vr_video_generator_tpu.ui.app
+"""
+
+from __future__ import annotations
+
+import os
+import shlex
+import signal
+import subprocess
+import sys
+from typing import Dict, Optional
+
+from vr_video_generator_tpu.ui.pathpick import pick_path
+
+# Field set mirrors the reference's args dict (UserInterface.py:30-50).
+DEFAULT_FIELDS: Dict[str, str] = {
+    "VideoDir": "./Videos/Input/input.mp4",
+    "OutputDir": "",
+    "DebugDir": "./Debug/",
+    "SubClipDir": "./Subclip/",
+    "encoder": "vits",
+    "encoder_path": "./checkpoints/depth_anything_v2_vits.pth",
+    "offset_fg": "0.025",
+    "offset_bg": "-0.01",
+    "offset_step_size": "1",
+    "Num_Workers": "4",
+    "num_gpu": "1",
+    "Num_GPU_Workers": "1",
+    "Max_Frame_Count": "15",
+    "start_frame": "0",
+    "end_frame": "99999999999999",
+    "repair_mode": "0",
+    "batch_size": "8",
+    "compute_dtype": "bfloat16",
+}
+
+
+def auto_output_name(video_dir: str) -> str:
+    """'SBS <name>.mkv' next to the input (reference UserInterface.py:100-104)."""
+    base = os.path.basename(video_dir)
+    stem = os.path.splitext(base)[0]
+    return os.path.join(os.path.dirname(video_dir), f"SBS {stem}.mkv")
+
+
+def build_command(fields: Dict[str, str]) -> list:
+    """CLI argv preview (reference update_preview, UserInterface.py:82-99)."""
+    cmd = [sys.executable, "-m", "vr_video_generator_tpu.cli"]
+    for key, value in fields.items():
+        if value != "":
+            cmd += [f"--{key}", str(value)]
+    return cmd
+
+
+class PipelineProcess:
+    """Run/Stop management of the conversion subprocess; Stop kills the whole
+    process group (the reference kills the psutil child tree,
+    UserInterface.py:127-140)."""
+
+    def __init__(self) -> None:
+        self._proc: Optional[subprocess.Popen] = None
+
+    def running(self) -> bool:
+        return self._proc is not None and self._proc.poll() is None
+
+    def start(self, cmd: list) -> None:
+        if self.running():
+            raise RuntimeError("pipeline already running")
+        self._proc = subprocess.Popen(cmd, start_new_session=True)
+
+    def stop(self) -> None:
+        if self._proc is None:
+            return
+        if self._proc.poll() is None:
+            try:
+                os.killpg(os.getpgid(self._proc.pid), signal.SIGTERM)
+                self._proc.wait(timeout=10)
+            except (ProcessLookupError, subprocess.TimeoutExpired):
+                try:
+                    os.killpg(os.getpgid(self._proc.pid), signal.SIGKILL)
+                except ProcessLookupError:
+                    pass
+        self._proc = None
+
+
+def run_app(input_fn=input, print_fn=print) -> None:  # pragma: no cover - interactive
+    fields = dict(DEFAULT_FIELDS)
+    proc = PipelineProcess()
+    print_fn("vr_video_generator_tpu console UI — commands: set <key> <value>, "
+             "pick <key>, show, run, stop, debug, quit")
+    while True:
+        try:
+            line = input_fn("> ").strip()
+        except (EOFError, KeyboardInterrupt):
+            line = "quit"
+        if not line:
+            continue
+        cmd, *rest = line.split(maxsplit=2)
+        if cmd == "quit":
+            proc.stop()
+            return
+        elif cmd == "show":
+            for k, v in fields.items():
+                print_fn(f"  {k} = {v}")
+            print_fn("Command preview:")
+            print_fn("  " + shlex.join(build_command(_with_auto_output(fields))))
+        elif cmd == "set" and len(rest) == 2:
+            key, value = rest
+            if key not in fields:
+                print_fn(f"unknown field {key!r}")
+                continue
+            fields[key] = value
+        elif cmd == "pick" and rest:
+            key = rest[0]
+            chosen = pick_path(input_fn=input_fn, print_fn=print_fn)
+            if chosen:
+                fields[key] = chosen
+        elif cmd == "run":
+            proc.start(build_command(_with_auto_output(fields)))
+            print_fn("pipeline started")
+        elif cmd == "stop":
+            proc.stop()
+            print_fn("pipeline stopped")
+        elif cmd == "debug":
+            dbg = fields["DebugDir"]
+            if os.path.isdir(dbg):
+                for f in sorted(os.listdir(dbg)):
+                    print_fn("  " + f)
+            else:
+                print_fn(f"no debug dir at {dbg}")
+        else:
+            print_fn("commands: set/pick/show/run/stop/debug/quit")
+
+
+def _with_auto_output(fields: Dict[str, str]) -> Dict[str, str]:
+    out = dict(fields)
+    if not out.get("OutputDir"):
+        out["OutputDir"] = auto_output_name(out["VideoDir"])
+    return out
+
+
+if __name__ == "__main__":  # pragma: no cover
+    run_app()

@@ -1,0 +1,132 @@
+"""Video decode tier — host side of the pipeline.
+
+Parity surface: the reference decodes with ``cv2.VideoCapture`` + frame seek
+(reference SupportFunction.py:170-177) and probes duration via ffprobe
+(:43-49). Backends here:
+
+  * cv2 (always available, frame-accurate seek) — default;
+  * ffmpeg rawvideo stdout pipe — higher throughput for 4K sources, used
+    when an ffmpeg binary is discoverable.
+
+Frames are delivered as RGB uint8 HWC (the reference decodes BGR and swaps
+channels at PredictAndGenerate.py:227-231; we swap once at the decode
+boundary instead).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+from typing import Iterator, Optional, Tuple
+
+import cv2
+import numpy as np
+
+
+def find_binary(name: str) -> Optional[str]:
+    """Locate ffmpeg/ffprobe: env override, vendored ./ffmpeg dir (the
+    reference's layout, README.md:43), then PATH."""
+    env = os.environ.get(f"VRSBG_{name.upper()}")
+    if env and os.path.exists(env):
+        return env
+    vendored = os.path.join(".", "ffmpeg", name)
+    if os.path.exists(vendored):
+        return vendored
+    return shutil.which(name)
+
+
+def probe_video(path: str) -> Tuple[float, int, int, int]:
+    """(fps, frame_count, width, height) — reference load_and_set_video
+    (SupportFunction.py:170-177) without keeping the capture open."""
+    cap = cv2.VideoCapture(path)
+    try:
+        fps = cap.get(cv2.CAP_PROP_FPS)
+        frames = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        width = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    finally:
+        cap.release()
+    return fps, frames, width, height
+
+
+def get_length(path: str) -> float:
+    """Duration in seconds — ffprobe when available (reference
+    SupportFunction.py:43-49), else frame_count/fps."""
+    ffprobe = find_binary("ffprobe")
+    if ffprobe:
+        result = subprocess.run(
+            [ffprobe, "-v", "error", "-show_entries", "format=duration",
+             "-of", "default=noprint_wrappers=1:nokey=1", path],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        try:
+            return float(result.stdout.decode().strip())
+        except ValueError:
+            pass
+    fps, frames, _, _ = probe_video(path)
+    return frames / fps if fps else 0.0
+
+
+class VideoReader:
+    """Sequential RGB frame reader starting at an arbitrary frame index."""
+
+    def __init__(self, path: str, begin: int = 0, backend: str = "auto"):
+        self.path = path
+        self.fps, self.frame_count, self.width, self.height = probe_video(path)
+        self._proc = None
+        self._cap = None
+        if backend == "auto":
+            backend = "cv2"
+        self.backend = backend
+        if backend == "cv2":
+            self._cap = cv2.VideoCapture(path)
+            if begin:
+                self._cap.set(cv2.CAP_PROP_POS_FRAMES, begin)
+        elif backend == "ffmpeg":
+            ffmpeg = find_binary("ffmpeg")
+            if not ffmpeg:
+                raise RuntimeError("ffmpeg binary not found for ffmpeg backend")
+            args = [ffmpeg, "-v", "error"]
+            if begin:
+                args += ["-ss", f"{begin / self.fps:.6f}"]
+            args += ["-i", path, "-f", "rawvideo", "-pix_fmt", "rgb24", "-"]
+            self._proc = subprocess.Popen(args, stdout=subprocess.PIPE,
+                                          bufsize=self.width * self.height * 3 * 4)
+        else:
+            raise ValueError(f"unknown reader backend {backend!r}")
+
+    def read(self) -> Optional[np.ndarray]:
+        """Next RGB uint8 frame, or None on decode failure / EOF (the caller
+        substitutes black frames, matching reference :222-225)."""
+        if self._cap is not None:
+            ok, bgr = self._cap.read()
+            if not ok or bgr is None:
+                return None
+            return np.ascontiguousarray(bgr[:, :, ::-1])
+        raw = self._proc.stdout.read(self.width * self.height * 3)
+        if len(raw) < self.width * self.height * 3:
+            return None
+        return np.frombuffer(raw, np.uint8).reshape(self.height, self.width, 3)
+
+    def frames(self, begin: int, end: int) -> Iterator[np.ndarray]:
+        """Frames [begin, end): decode failures become black frames."""
+        for i in range(begin, end):
+            frame = self.read()
+            if frame is None:
+                frame = np.zeros((self.height, self.width, 3), np.uint8)
+            yield frame
+
+    def close(self) -> None:
+        if self._cap is not None:
+            self._cap.release()
+            self._cap = None
+        if self._proc is not None:
+            self._proc.stdout.close()
+            self._proc.terminate()
+            self._proc = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

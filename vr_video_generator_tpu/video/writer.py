@@ -1,0 +1,103 @@
+"""Video encode tier: subclip writers with the reference's filename contract.
+
+Subclips named ``{begin}_{end}.mp4`` (END INCLUSIVE) in the subclip dir are
+the pipeline's unit of checkpointing (reference PredictAndGenerate.py:243,
+SURVEY.md §5 checkpoint/resume). Encoding backends:
+
+  * ffmpeg rawvideo-stdin subprocess, argv parity with
+    reference SupportFunction.py:181-216 (same rgb24 pipe, same libopenh264
+    bitrate ladder / hevc_nvenc flags);
+  * cv2.VideoWriter fallback when no ffmpeg binary exists (tests, bare hosts).
+
+Like the reference (:241-246), the previous encoder process is awaited
+before a new one starts, so encoding overlaps the next batch's compute.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+from typing import List, Optional, Sequence
+
+import cv2
+import numpy as np
+
+from vr_video_generator_tpu.video.reader import find_binary, probe_video
+
+
+def get_ffmpeg_config(video_path: str, device: str = "cpu") -> tuple[int, list]:
+    """(video_length, ffmpeg argv prefix) — parity with reference
+    get_ffmpeg_config (SupportFunction.py:181-216): rawvideo rgb24 stdin at
+    double width, -an, yuv420p; libopenh264 5M CBR on cpu / hevc_nvenc cq29
+    p7 on nvidia."""
+    fps, video_length, width, height = probe_video(video_path)
+    ffmpeg = find_binary("ffmpeg") or "ffmpeg"
+    config = [
+        ffmpeg, "-y",
+        "-f", "rawvideo", "-vcodec", "rawvideo", "-pix_fmt", "rgb24",
+        "-s", f"{2 * width}x{height}", "-r", str(fps),
+        "-i", "-", "-an", "-pix_fmt", "yuv420p",
+    ]
+    if device == "cpu":
+        config += ["-c:v", "libopenh264", "-b:v", "5M",
+                   "-maxrate", "10M", "-bufsize", "20M"]
+    elif device == "nvidia":
+        config += ["-c:v", "hevc_nvenc", "-cq", "29", "-rc", "vbr",
+                   "-preset", "p7", "-multipass", "0", "-tune", "5"]
+    return video_length, config
+
+
+class SubclipWriter:
+    """Writes batches of SBS frames as ``{begin}_{end}.mp4`` subclips."""
+
+    def __init__(self, subclip_dir: str, fps: float, width: int, height: int,
+                 ffmpeg_config: Optional[List[str]] = None, backend: str = "auto"):
+        os.makedirs(subclip_dir, exist_ok=True)
+        self.subclip_dir = subclip_dir
+        self.fps, self.width, self.height = fps, width, height
+        self._prev_proc: Optional[subprocess.Popen] = None
+        if backend == "auto":
+            backend = "ffmpeg" if find_binary("ffmpeg") else "cv2"
+        self.backend = backend
+        self.ffmpeg_config = ffmpeg_config
+
+    def _path(self, begin: int, end_inclusive: int) -> str:
+        return os.path.join(self.subclip_dir, f"{begin}_{end_inclusive}.mp4")
+
+    def write_clip(self, begin: int, frames: Sequence[np.ndarray]) -> str:
+        """Write frames [begin, begin+len) as one subclip; returns its path."""
+        end_inclusive = begin + len(frames) - 1
+        path = self._path(begin, end_inclusive)
+        if self.backend == "ffmpeg":
+            self.wait()  # reference waits for the previous encoder (:241-242)
+            config = self.ffmpeg_config
+            if config is None:
+                ffmpeg = find_binary("ffmpeg")
+                config = [ffmpeg, "-y", "-f", "rawvideo", "-vcodec", "rawvideo",
+                          "-pix_fmt", "rgb24", "-s", f"{self.width}x{self.height}",
+                          "-r", str(self.fps), "-i", "-", "-an",
+                          "-pix_fmt", "yuv420p", "-c:v", "libopenh264",
+                          "-b:v", "5M", "-maxrate", "10M", "-bufsize", "20M"]
+            proc = subprocess.Popen(config + [path], stdin=subprocess.PIPE,
+                                    stderr=subprocess.DEVNULL)
+            for frame in frames:
+                proc.stdin.write(np.ascontiguousarray(frame).tobytes())
+            proc.stdin.close()
+            self._prev_proc = proc
+        else:
+            writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
+                                     self.fps, (self.width, self.height))
+            if not writer.isOpened():
+                raise RuntimeError(f"cv2.VideoWriter failed to open {path}")
+            for frame in frames:
+                writer.write(np.ascontiguousarray(frame[:, :, ::-1]))  # RGB->BGR
+            writer.release()
+        return path
+
+    def wait(self) -> None:
+        if self._prev_proc is not None:
+            self._prev_proc.wait()
+            self._prev_proc = None
+
+    def close(self) -> None:
+        self.wait()
