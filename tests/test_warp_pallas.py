@@ -1,0 +1,71 @@
+"""Pallas warp kernel parity vs the XLA path (interpreter mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.test_warp import synth_depth, synth_img, H, W
+from vr_video_generator_tpu.ops.warp import (
+    WarpSpec,
+    build_plane_tables,
+    build_shift_tables,
+    warp_composite_static,
+    warp_frame,
+)
+from vr_video_generator_tpu.ops.warp_pallas import (
+    warp_composite_pallas,
+    warp_frame_pallas,
+)
+from vr_video_generator_tpu.utils.config import StereoConfig
+
+
+@pytest.fixture(scope="module")
+def setup(rng=None):
+    rng = np.random.default_rng(3)
+    cfg = StereoConfig().normalized()
+    spec = WarpSpec.create(H, W, cfg)
+    img = synth_img(rng)
+    depth = synth_depth(rng)
+    r = spec.frame_offset_range(jnp.asarray(depth))
+    tables = build_plane_tables(jnp.asarray(depth), r, cfg, H, spec.max_planes)
+    return spec, img, depth, tables
+
+
+def test_composite_matches_xla(setup):
+    spec, img, depth, tables = setup
+    st = build_shift_tables(tables, spec.s_neg, spec.s_pos)
+    ref_comp, ref_cov = warp_composite_static(jnp.asarray(img),
+                                              jnp.asarray(depth), st,
+                                              spec.s_neg, spec.s_pos)
+    comp, cov = warp_composite_pallas(jnp.asarray(img), jnp.asarray(depth),
+                                      st, spec.s_neg, spec.s_pos,
+                                      interpret=True)
+    np.testing.assert_array_equal(np.asarray(cov), np.asarray(ref_cov))
+    np.testing.assert_array_equal(np.asarray(comp), np.asarray(ref_comp))
+
+
+def test_full_frame_matches_xla(setup):
+    spec, img, depth, tables = setup
+    ref = warp_frame(jnp.asarray(img), jnp.asarray(depth), tables,
+                     spec.kernel_size, spec.cfg.sigma, impl="xla",
+                     s_neg=spec.s_neg, s_pos=spec.s_pos)
+    out = warp_frame_pallas(jnp.asarray(img), jnp.asarray(depth), tables,
+                            spec.kernel_size, spec.cfg.sigma,
+                            spec.s_neg, spec.s_pos, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_ragged_height(setup):
+    """H=72 is not a multiple of the 8-row block only if block changes; force
+    a ragged grid with block_rows=16 (72 = 4*16 + 8)."""
+    spec, img, depth, tables = setup
+    st = build_shift_tables(tables, spec.s_neg, spec.s_pos)
+    ref_comp, ref_cov = warp_composite_static(jnp.asarray(img),
+                                              jnp.asarray(depth), st,
+                                              spec.s_neg, spec.s_pos)
+    comp, cov = warp_composite_pallas(jnp.asarray(img), jnp.asarray(depth),
+                                      st, spec.s_neg, spec.s_pos,
+                                      block_rows=16, interpret=True)
+    np.testing.assert_array_equal(np.asarray(comp), np.asarray(ref_comp))
+    np.testing.assert_array_equal(np.asarray(cov), np.asarray(ref_cov))

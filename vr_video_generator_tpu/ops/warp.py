@@ -97,6 +97,66 @@ def build_plane_tables(depth: jnp.ndarray, offset_range: jnp.ndarray,
                        offset_range=jnp.stack([r0, r1]))
 
 
+class ShiftTables(NamedTuple):
+    """Plane tables re-indexed by pixel shift.
+
+    Plane offsets are round() of an affine map of the plane index
+    (reference :120-123), hence monotone non-decreasing integers in the
+    statically-bounded range [-s_neg, s_pos]. Re-indexing by shift turns the
+    per-plane loop into an unrolled loop over STATIC shifts — every roll
+    compiles to a pair of static slices, and ascending shift order equals
+    ascending plane order, preserving the reference's last-write-wins
+    compositing. Adjacent planes that round to the same offset merge into
+    one interval [min lo, max hi), which is semantics-preserving because
+    their bands are contiguous and they share the same output offset.
+    """
+
+    lo: jnp.ndarray      # (S,) f32 band lower bounds (thr - 0.05*step)
+    hi: jnp.ndarray      # (S,) f32 band upper bounds (thr + 1.05*step)
+    valid: jnp.ndarray   # (S,) bool — some plane maps to this shift
+    fill_offset: jnp.ndarray
+    edge_width: jnp.ndarray
+
+
+def build_shift_tables(tables: PlaneTables, s_neg: int, s_pos: int) -> ShiftTables:
+    """Scatter the padded plane tables into shift-indexed interval tables."""
+    size = s_neg + s_pos + 1
+    lo_k = tables.cutoffs - 0.05 * tables.steps
+    hi_k = tables.cutoffs + 1.05 * tables.steps
+    lo_k = jnp.where(tables.plane_valid, lo_k, jnp.inf)
+    hi_k = jnp.where(tables.plane_valid, hi_k, -jnp.inf)
+    idx = tables.offsets + s_neg  # out-of-range planes drop out of the scatter
+    lo = jnp.full((size,), jnp.inf).at[idx].min(lo_k, mode="drop")
+    hi = jnp.full((size,), -jnp.inf).at[idx].max(hi_k, mode="drop")
+    valid = jnp.zeros((size,), jnp.bool_).at[idx].max(tables.plane_valid,
+                                                      mode="drop")
+    return ShiftTables(lo=lo, hi=hi, valid=valid,
+                       fill_offset=tables.fill_offset,
+                       edge_width=tables.edge_width)
+
+
+def warp_composite_static(img_u8: jnp.ndarray, depth: jnp.ndarray,
+                          st: ShiftTables, s_neg: int,
+                          s_pos: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Compositing via the unrolled static-shift loop.
+
+    Per shift s (ascending = far->near): destination pixel x is claimed when
+    depth[x-s] falls in the shift's band; the winning shift's color
+    img[x-s] = roll(img, s)[x] is selected. Holes get roll(img, fill_offset)
+    — that one roll is dynamic (per-frame fill offset).
+    Returns (composite (H,W,3) uint8, covered (H,W) bool).
+    """
+    composite = jnp.roll(img_u8, st.fill_offset, axis=1)
+    covered = jnp.zeros(depth.shape, jnp.bool_)
+    for j, s in enumerate(range(-s_neg, s_pos + 1)):
+        d_s = jnp.roll(depth, s, axis=1)
+        m = st.valid[j] & (st.lo[j] <= d_s) & (d_s < st.hi[j])
+        composite = jnp.where(m[..., None], jnp.roll(img_u8, s, axis=1),
+                              composite)
+        covered = covered | m
+    return composite, covered
+
+
 def select_warp_offsets(depth: jnp.ndarray,
                         tables: PlaneTables) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-output-pixel winning plane offset + coverage mask.
@@ -125,20 +185,36 @@ def select_warp_offsets(depth: jnp.ndarray,
 
 
 def warp_frame(img_u8: jnp.ndarray, depth: jnp.ndarray, tables: PlaneTables,
-               kernel_size: int, sigma: float) -> jnp.ndarray:
+               kernel_size: int, sigma: float, impl: str = "xla",
+               s_neg: int = 0, s_pos: int = 0) -> jnp.ndarray:
     """One frame: (H, W, 3) uint8 RGB + smoothed depth -> (H, 2W, 3) SBS.
 
     Mirrors ``left_side_sbs`` (reference :157-198): plane compositing,
     3/5-plane hole fill, Gaussian smoothing of filled pixels, left-edge copy
     from the original, [synth-left | original-right] concat.
+
+    impl: 'xla' — unrolled static-shift compositing (default);
+          'pallas' — fused VMEM-resident kernel (ops/warp_pallas.py);
+          'scan' — lax.scan over planes with dynamic rolls + final gather
+          (reference-shaped; kept as oracle/fallback).
     """
     h, w, _ = img_u8.shape
-    sel_off, covered = select_warp_offsets(depth, tables)
+    if impl == "pallas":
+        from vr_video_generator_tpu.ops.warp_pallas import warp_frame_pallas
+
+        return warp_frame_pallas(img_u8, depth, tables, kernel_size, sigma,
+                                 s_neg, s_pos)
+    if impl == "scan":
+        sel_off, covered = select_warp_offsets(depth, tables)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        src_cols = jnp.remainder(cols - sel_off, w)
+        composite = jnp.take_along_axis(img_u8, src_cols[..., None], axis=1)
+    else:
+        st = build_shift_tables(tables, s_neg, s_pos)
+        composite, covered = warp_composite_static(img_u8, depth, st,
+                                                   s_neg, s_pos)
 
     cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    src_cols = jnp.remainder(cols - sel_off, w)
-    composite = jnp.take_along_axis(img_u8, src_cols[..., None], axis=1)
-
     kx, ky = kernel_size * 2 + 3, kernel_size * 2 + 1
     blurred = jnp.clip(jnp.round(gaussian_blur(composite, (kx, ky), sigma)),
                        0, 255).astype(jnp.uint8)
@@ -158,14 +234,24 @@ class WarpSpec:
     cfg: StereoConfig
     max_planes: int
     kernel_size: int
+    s_neg: int = 0         # static bound on background (negative) shifts
+    s_pos: int = 0         # static bound on foreground (positive) shifts
+    impl: str = "xla"
 
     @staticmethod
-    def create(height: int, width: int, cfg: StereoConfig) -> "WarpSpec":
+    def create(height: int, width: int, cfg: StereoConfig,
+               impl: str = "xla") -> "WarpSpec":
         cfg = cfg.normalized()
         # reference :165 — round(0.0036*H), python round-half-even
         ks = int(np.round(0.0036 * height))
+        step = max(cfg.offset_step_size, 1)
+        s_neg = int(np.ceil(-cfg.offset_bg * height * cfg.limit_step_cap / 14.0 / step) * step) + 1
+        s_pos = int(np.ceil(cfg.offset_fg * height * cfg.limit_step_cap / 14.0 / step) * step) + 1
+        if impl == "auto":
+            impl = "xla"
         return WarpSpec(height=height, width=width, cfg=cfg,
-                        max_planes=cfg.max_planes(height), kernel_size=ks)
+                        max_planes=cfg.max_planes(height), kernel_size=ks,
+                        s_neg=s_neg, s_pos=s_pos, impl=impl)
 
     def initial_offset_range(self) -> jnp.ndarray:
         return jnp.zeros((2,), jnp.float32)
@@ -181,4 +267,5 @@ class WarpSpec:
         tables = build_plane_tables(depth, offset_range, self.cfg, self.height,
                                     self.max_planes)
         return warp_frame(img_u8, depth, tables, self.kernel_size,
-                          self.cfg.sigma)
+                          self.cfg.sigma, impl=self.impl,
+                          s_neg=self.s_neg, s_pos=self.s_pos)

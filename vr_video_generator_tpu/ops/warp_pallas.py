@@ -1,0 +1,129 @@
+"""Fused Pallas TPU kernel for the stereo forward warp.
+
+Replaces the unrolled-XLA compositing loop (ops/warp.py
+``warp_composite_static``) with a single kernel that keeps each row-block of
+depth + image in VMEM across ALL shifts. The XLA version streams the depth
+map from HBM once per shift (~S x H x W x 4B of traffic per frame); here the
+traffic is exactly one read of depth + image and one write of the composite
+— the warp becomes VPU-bound instead of HBM-bound.
+
+Layout notes:
+  * the image is processed channel-planar ((3, H, W)) so every roll is a
+    lane-axis rotation of a (BH, W) tile — the HWC interleave would put the
+    3-channel axis in the minor-most (lane) dimension;
+  * all shifts are STATIC (unrolled python loop over [-s_neg, s_pos]), each
+    shift's depth band (lo, hi, valid) is read from SMEM at a static index;
+  * the hole-fill image (roll by the per-frame dynamic fill_offset,
+    reference PredictAndGenerate.py:190) is captured in the same loop by
+    matching s == fill_offset — no dynamic roll needed.
+
+Semantics match ops/warp.py (and therefore the reference, see ShiftTables
+docstring) bit-for-bit; tests/test_warp_pallas.py checks against the XLA
+path in interpreter mode.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vr_video_generator_tpu.ops.warp import PlaneTables, ShiftTables, build_shift_tables
+
+
+def _roll_lanes(x: jnp.ndarray, shift: int) -> jnp.ndarray:
+    """Static circular shift along the last (lane) axis."""
+    if shift % x.shape[-1] == 0:
+        return x
+    return pltpu.roll(x, shift=shift % x.shape[-1], axis=x.ndim - 1)
+
+
+def _warp_kernel(lo_ref, hi_ref, valid_ref, fill_ref,  # SMEM scalars/tables
+                 depth_ref, r_ref, g_ref, b_ref,       # VMEM blocks
+                 out_r_ref, out_g_ref, out_b_ref, cov_ref,
+                 *, s_neg: int, s_pos: int):
+    depth = depth_ref[:, :]
+    chans = (r_ref[:, :], g_ref[:, :], b_ref[:, :])
+    fill_offset = fill_ref[0]
+
+    covered = jnp.zeros(depth.shape, jnp.bool_)
+    comp = [jnp.zeros(depth.shape, jnp.uint8) for _ in range(3)]
+    fill = [jnp.zeros(depth.shape, jnp.uint8) for _ in range(3)]
+
+    for j, s in enumerate(range(-s_neg, s_pos + 1)):
+        d_s = _roll_lanes(depth, s)
+        m = (valid_ref[j] != 0) & (lo_ref[j] <= d_s) & (d_s < hi_ref[j])
+        is_fill = s == fill_offset
+        for c in range(3):
+            rolled = _roll_lanes(chans[c], s)
+            comp[c] = jnp.where(m, rolled, comp[c])
+            fill[c] = jnp.where(is_fill, rolled, fill[c])
+        covered = covered | m
+
+    cov_ref[:, :] = covered
+    for c, out_ref in enumerate((out_r_ref, out_g_ref, out_b_ref)):
+        out_ref[:, :] = jnp.where(covered, comp[c], fill[c])
+
+
+@functools.partial(jax.jit, static_argnames=("s_neg", "s_pos", "block_rows",
+                                             "interpret"))
+def warp_composite_pallas(img_u8: jnp.ndarray, depth: jnp.ndarray,
+                          st: ShiftTables, s_neg: int, s_pos: int,
+                          block_rows: int = 8,
+                          interpret: bool = False
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(H, W, 3) uint8 + (H, W) f32 depth -> (composite (H, W, 3) uint8,
+    covered (H, W) bool). Drop-in for ops/warp.warp_composite_static."""
+    h, w, _ = img_u8.shape
+    planar = jnp.transpose(img_u8, (2, 0, 1))  # (3, H, W)
+
+    grid = (pl.cdiv(h, block_rows),)
+    row_block = pl.BlockSpec((block_rows, w), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    smem_vec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((h, w), jnp.uint8),
+        jax.ShapeDtypeStruct((h, w), jnp.uint8),
+        jax.ShapeDtypeStruct((h, w), jnp.uint8),
+        jax.ShapeDtypeStruct((h, w), jnp.bool_),
+    )
+    kernel = functools.partial(_warp_kernel, s_neg=s_neg, s_pos=s_pos)
+    out_r, out_g, out_b, covered = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[smem_vec, smem_vec, smem_vec, smem_vec,
+                  row_block, row_block, row_block, row_block],
+        out_specs=(row_block, row_block, row_block, row_block),
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(st.lo, st.hi, st.valid.astype(jnp.int32), st.fill_offset.reshape(1),
+      depth, planar[0], planar[1], planar[2])
+
+    composite = jnp.stack([out_r, out_g, out_b], axis=-1)
+    return composite, covered
+
+
+def warp_frame_pallas(img_u8: jnp.ndarray, depth: jnp.ndarray,
+                      tables: PlaneTables, kernel_size: int, sigma: float,
+                      s_neg: int, s_pos: int,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Full per-frame warp with the Pallas compositor: blur/edge/concat stay
+    in XLA (cheap and fusion-friendly). Mirrors ops/warp.warp_frame."""
+    from vr_video_generator_tpu.ops.gaussian import gaussian_blur
+
+    h, w, _ = img_u8.shape
+    st = build_shift_tables(tables, s_neg, s_pos)
+    composite, covered = warp_composite_pallas(img_u8, depth, st, s_neg, s_pos,
+                                               interpret=interpret)
+    kx, ky = kernel_size * 2 + 3, kernel_size * 2 + 1
+    blurred = jnp.clip(jnp.round(gaussian_blur(composite, (kx, ky), sigma)),
+                       0, 255).astype(jnp.uint8)
+    result = jnp.where(covered[..., None], composite, blurred)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    result = jnp.where((cols < tables.edge_width)[..., None], img_u8, result)
+    return jnp.concatenate([result, img_u8], axis=1)

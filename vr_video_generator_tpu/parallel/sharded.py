@@ -55,7 +55,8 @@ class ShardedSbsPipeline:
         self.mesh = mesh
         self.n_data = mesh.shape["data"]
         self.height, self.width = height, width
-        self.spec = WarpSpec.create(height, width, self.run_cfg.stereo())
+        self.spec = WarpSpec.create(height, width, self.run_cfg.stereo(),
+                                    impl=self.run_cfg.warp_impl)
         self.params = shard_params(params, mesh)
 
         data_sharding = NamedSharding(mesh, P("data"))

@@ -42,7 +42,8 @@ class SbsPipeline:
         self.model = model
         self.params = params
         self.height, self.width = height, width
-        self.spec = WarpSpec.create(height, width, self.run_cfg.stereo())
+        self.spec = WarpSpec.create(height, width, self.run_cfg.stereo(),
+                                    impl=self.run_cfg.warp_impl)
         self._step = jax.jit(self._step_impl, donate_argnums=(2,))
 
     @classmethod
@@ -69,8 +70,11 @@ class SbsPipeline:
         """Process one batch; returns (SBS uint8 (B, H, 2W, 3), carried state)."""
         return self._step(self.params, jnp.asarray(frames_u8), state)
 
+    @functools.cached_property
+    def _depth_fn(self):
+        return jax.jit(functools.partial(infer_depth, self.model,
+                                         input_size=self.run_cfg.input_size))
+
     def depth_only(self, frames_u8) -> jnp.ndarray:
         """Depth maps at source resolution (scaled) — debugging/benchmarks."""
-        fn = functools.partial(infer_depth, self.model, self.params,
-                               input_size=self.run_cfg.input_size)
-        return jax.jit(fn)(jnp.asarray(frames_u8))
+        return self._depth_fn(self.params, jnp.asarray(frames_u8))
