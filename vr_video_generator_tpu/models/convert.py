@@ -67,14 +67,19 @@ def convert_state_dict(state_dict: Mapping[str, "object"],
     }
     for i in range(cfg.depth):
         p = f"pretrained.blocks.{i}"
+        if cfg.ffn_layer == "swiglufused":  # vitg (reference swiglu_ffn.py)
+            mlp = {"w12": _dense(sd, p + ".mlp.w12"),
+                   "w3": _dense(sd, p + ".mlp.w3")}
+        else:
+            mlp = {"fc1": _dense(sd, p + ".mlp.fc1"),
+                   "fc2": _dense(sd, p + ".mlp.fc2")}
         pretrained[f"block{i}"] = {
             "norm1": _norm(sd, p + ".norm1"),
             "attn": {"qkv": _dense(sd, p + ".attn.qkv"),
                      "proj": _dense(sd, p + ".attn.proj")},
             "ls1": {"gamma": sd[p + ".ls1.gamma"]},
             "norm2": _norm(sd, p + ".norm2"),
-            "mlp": {"fc1": _dense(sd, p + ".mlp.fc1"),
-                    "fc2": _dense(sd, p + ".mlp.fc2")},
+            "mlp": mlp,
             "ls2": {"gamma": sd[p + ".ls2.gamma"]},
         }
 

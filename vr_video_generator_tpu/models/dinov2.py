@@ -43,6 +43,26 @@ class Mlp(nn.Module):
         return x
 
 
+class SwiGLUFFN(nn.Module):
+    """SwiGLU feed-forward (vitg only) — reference dinov2_layers/swiglu_ffn.py.
+
+    Fused variant: one Dense produces [x1 | x2], hidden = silu(x1) * x2,
+    with the 2/3-rounded-to-8 hidden sizing of SwiGLUFFNFused.
+    """
+
+    hidden_dim: int  # the nominal mlp hidden (dim * mlp_ratio)
+    out_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        swiglu_hidden = (int(self.hidden_dim * 2 / 3) + 7) // 8 * 8
+        x12 = nn.Dense(2 * swiglu_hidden, dtype=self.dtype, name="w12")(x)
+        x1, x2 = jnp.split(x12, 2, axis=-1)
+        hidden = jax.nn.silu(x1) * x2
+        return nn.Dense(self.out_dim, dtype=self.dtype, name="w3")(hidden)
+
+
 class Attention(nn.Module):
     """Multi-head self-attention — reference dinov2_layers/attention.py:29-62.
 
@@ -89,6 +109,7 @@ class Block(nn.Module):
     dim: int
     num_heads: int
     mlp_ratio: float
+    ffn_layer: str = "mlp"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -97,8 +118,9 @@ class Block(nn.Module):
         h = Attention(self.num_heads, dtype=self.dtype, name="attn")(h.astype(self.dtype))
         x = x + LayerScale(self.dim, dtype=self.dtype, name="ls1")(h)
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
-        h = Mlp(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype,
-                name="mlp")(h.astype(self.dtype))
+        ffn_cls = SwiGLUFFN if self.ffn_layer == "swiglufused" else Mlp
+        h = ffn_cls(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype,
+                    name="mlp")(h.astype(self.dtype))
         return x + LayerScale(self.dim, dtype=self.dtype, name="ls2")(h)
 
 
@@ -164,11 +186,13 @@ class DinoVisionTransformer(nn.Module):
 
         take = set(take_layers)
         final_norm = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")
-        outputs = []
+        tapped = {}
         for i in range(cfg.depth):
             x = Block(cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio,
-                      dtype=self.dtype, name=f"block{i}")(x)
+                      ffn_layer=cfg.ffn_layer, dtype=self.dtype,
+                      name=f"block{i}")(x)
             if i in take:
-                tapped = final_norm(x).astype(self.dtype)
-                outputs.append((tapped[:, 1:], tapped[:, 0]))
-        return tuple(outputs)
+                out = final_norm(x).astype(self.dtype)
+                tapped[i] = (out[:, 1:], out[:, 0])
+        # one tap per requested index, duplicates allowed (tiny test configs)
+        return tuple(tapped[i] for i in take_layers)

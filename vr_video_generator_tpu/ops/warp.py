@@ -248,7 +248,12 @@ class WarpSpec:
         s_neg = int(np.ceil(-cfg.offset_bg * height * cfg.limit_step_cap / 14.0 / step) * step) + 1
         s_pos = int(np.ceil(cfg.offset_fg * height * cfg.limit_step_cap / 14.0 / step) * step) + 1
         if impl == "auto":
-            impl = "xla"
+            # Pallas on TPU: the fused kernel keeps row blocks in VMEM across
+            # all shifts; the unrolled XLA loop's independent rolled copies
+            # give the scheduler license to balloon HBM pressure.
+            import jax
+
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
         return WarpSpec(height=height, width=width, cfg=cfg,
                         max_planes=cfg.max_planes(height), kernel_size=ks,
                         s_neg=s_neg, s_pos=s_pos, impl=impl)

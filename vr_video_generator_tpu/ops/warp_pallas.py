@@ -81,6 +81,14 @@ def warp_composite_pallas(img_u8: jnp.ndarray, depth: jnp.ndarray,
     h, w, _ = img_u8.shape
     planar = jnp.transpose(img_u8, (2, 0, 1))  # (3, H, W)
 
+    # Pad the shift tables to a lane-aligned length: vmapped pallas_call
+    # blocks the (batched) SMEM arrays, whose minor dim must be 128-aligned.
+    size = s_neg + s_pos + 1
+    pad = (-size) % 128
+    lo = jnp.pad(st.lo, (0, pad), constant_values=jnp.inf)
+    hi = jnp.pad(st.hi, (0, pad), constant_values=-jnp.inf)
+    valid = jnp.pad(st.valid.astype(jnp.int32), (0, pad))
+
     grid = (pl.cdiv(h, block_rows),)
     row_block = pl.BlockSpec((block_rows, w), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
@@ -101,7 +109,7 @@ def warp_composite_pallas(img_u8: jnp.ndarray, depth: jnp.ndarray,
         out_specs=(row_block, row_block, row_block, row_block),
         out_shape=out_shapes,
         interpret=interpret,
-    )(st.lo, st.hi, st.valid.astype(jnp.int32), st.fill_offset.reshape(1),
+    )(lo, hi, valid, jnp.broadcast_to(st.fill_offset, (128,)),
       depth, planar[0], planar[1], planar[2])
 
     composite = jnp.stack([out_r, out_g, out_b], axis=-1)
