@@ -43,30 +43,30 @@ def _roll_lanes(x: jnp.ndarray, shift: int) -> jnp.ndarray:
 
 
 def _warp_kernel(lo_ref, hi_ref, valid_ref, fill_ref,  # SMEM scalars/tables
-                 depth_ref, r_ref, g_ref, b_ref,       # VMEM blocks
-                 out_r_ref, out_g_ref, out_b_ref, cov_ref,
+                 depth_ref, rgb_ref,                   # VMEM blocks
+                 out_ref, cov_ref,
                  *, s_neg: int, s_pos: int):
+    """rgb_ref holds the image packed r | g<<8 | b<<16 as uint32 — Mosaic's
+    lane rotate only supports 32-bit data, and one packed roll per shift
+    beats three channel rolls anyway."""
     depth = depth_ref[:, :]
-    chans = (r_ref[:, :], g_ref[:, :], b_ref[:, :])
-    fill_offset = fill_ref[0]
+    rgb = rgb_ref[:, :]
+    fill_offset = fill_ref[0, 0]
 
     covered = jnp.zeros(depth.shape, jnp.bool_)
-    comp = [jnp.zeros(depth.shape, jnp.uint8) for _ in range(3)]
-    fill = [jnp.zeros(depth.shape, jnp.uint8) for _ in range(3)]
+    comp = jnp.zeros(depth.shape, jnp.uint32)
+    fill = jnp.zeros(depth.shape, jnp.uint32)
 
     for j, s in enumerate(range(-s_neg, s_pos + 1)):
         d_s = _roll_lanes(depth, s)
-        m = (valid_ref[j] != 0) & (lo_ref[j] <= d_s) & (d_s < hi_ref[j])
-        is_fill = s == fill_offset
-        for c in range(3):
-            rolled = _roll_lanes(chans[c], s)
-            comp[c] = jnp.where(m, rolled, comp[c])
-            fill[c] = jnp.where(is_fill, rolled, fill[c])
+        m = (valid_ref[0, j] != 0) & (lo_ref[0, j] <= d_s) & (d_s < hi_ref[0, j])
+        rolled = _roll_lanes(rgb, s)
+        comp = jnp.where(m, rolled, comp)
+        fill = jnp.where(s == fill_offset, rolled, fill)
         covered = covered | m
 
     cov_ref[:, :] = covered
-    for c, out_ref in enumerate((out_r_ref, out_g_ref, out_b_ref)):
-        out_ref[:, :] = jnp.where(covered, comp[c], fill[c])
+    out_ref[:, :] = jnp.where(covered, comp, fill)
 
 
 @functools.partial(jax.jit, static_argnames=("s_neg", "s_pos", "block_rows",
@@ -79,15 +79,17 @@ def warp_composite_pallas(img_u8: jnp.ndarray, depth: jnp.ndarray,
     """(H, W, 3) uint8 + (H, W) f32 depth -> (composite (H, W, 3) uint8,
     covered (H, W) bool). Drop-in for ops/warp.warp_composite_static."""
     h, w, _ = img_u8.shape
-    planar = jnp.transpose(img_u8, (2, 0, 1))  # (3, H, W)
+    img32 = img_u8.astype(jnp.uint32)
+    packed = img32[..., 0] | (img32[..., 1] << 8) | (img32[..., 2] << 16)
 
-    # Pad the shift tables to a lane-aligned length: vmapped pallas_call
-    # blocks the (batched) SMEM arrays, whose minor dim must be 128-aligned.
+    # Shape the shift tables (1, S_pad) with a lane-aligned minor dim: under
+    # vmap the batched SMEM arrays become (B, 1, S_pad) and each program's
+    # block is the fully-mapped (1, S_pad) — the layout Pallas accepts.
     size = s_neg + s_pos + 1
     pad = (-size) % 128
-    lo = jnp.pad(st.lo, (0, pad), constant_values=jnp.inf)
-    hi = jnp.pad(st.hi, (0, pad), constant_values=-jnp.inf)
-    valid = jnp.pad(st.valid.astype(jnp.int32), (0, pad))
+    lo = jnp.pad(st.lo, (0, pad), constant_values=jnp.inf)[None]
+    hi = jnp.pad(st.hi, (0, pad), constant_values=-jnp.inf)[None]
+    valid = jnp.pad(st.valid.astype(jnp.int32), (0, pad))[None]
 
     grid = (pl.cdiv(h, block_rows),)
     row_block = pl.BlockSpec((block_rows, w), lambda i: (i, 0),
@@ -95,24 +97,24 @@ def warp_composite_pallas(img_u8: jnp.ndarray, depth: jnp.ndarray,
     smem_vec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     out_shapes = (
-        jax.ShapeDtypeStruct((h, w), jnp.uint8),
-        jax.ShapeDtypeStruct((h, w), jnp.uint8),
-        jax.ShapeDtypeStruct((h, w), jnp.uint8),
+        jax.ShapeDtypeStruct((h, w), jnp.uint32),
         jax.ShapeDtypeStruct((h, w), jnp.bool_),
     )
     kernel = functools.partial(_warp_kernel, s_neg=s_neg, s_pos=s_pos)
-    out_r, out_g, out_b, covered = pl.pallas_call(
+    out_packed, covered = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[smem_vec, smem_vec, smem_vec, smem_vec,
-                  row_block, row_block, row_block, row_block],
-        out_specs=(row_block, row_block, row_block, row_block),
+                  row_block, row_block],
+        out_specs=(row_block, row_block),
         out_shape=out_shapes,
         interpret=interpret,
-    )(lo, hi, valid, jnp.broadcast_to(st.fill_offset, (128,)),
-      depth, planar[0], planar[1], planar[2])
+    )(lo, hi, valid, jnp.broadcast_to(st.fill_offset, (1, 128)),
+      depth, packed)
 
-    composite = jnp.stack([out_r, out_g, out_b], axis=-1)
+    composite = jnp.stack(
+        [out_packed & 0xFF, (out_packed >> 8) & 0xFF, (out_packed >> 16) & 0xFF],
+        axis=-1).astype(jnp.uint8)
     return composite, covered
 
 
