@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from vr_video_generator_tpu.ops.resize import resize_bilinear
@@ -89,7 +90,10 @@ class FeatureFusionBlock(nn.Module):
         x = ResidualConvUnit(self.features, dtype=self.dtype, name="rcu2")(x)
         if out_hw is None:
             out_hw = (x.shape[-3] * 2, x.shape[-2] * 2)
-        x = resize_bilinear(x, out_hw, align_corners=True).astype(self.dtype)
+        # compute-dtype resize: the reference runs these under fp16 autocast
+        # (PredictAndGenerate.py:54), so bf16/default precision is parity.
+        x = resize_bilinear(x, out_hw, align_corners=True, dtype=self.dtype,
+                            precision=jax.lax.Precision.DEFAULT)
         return nn.Conv(self.features, (1, 1), dtype=self.dtype, name="out_conv")(x)
 
 
@@ -137,7 +141,8 @@ class DPTHead(nn.Module):
         x = nn.Conv(feats // 2, (3, 3), padding=1, dtype=self.dtype,
                     name="output_conv1")(path1)
         x = resize_bilinear(x, (ph * cfg.patch_size, pw * cfg.patch_size),
-                            align_corners=True).astype(self.dtype)
+                            align_corners=True, dtype=self.dtype,
+                            precision=jax.lax.Precision.DEFAULT)
         x = nn.Conv(32, (3, 3), padding=1, dtype=self.dtype,
                     name="output_conv2_0")(x)
         x = nn.relu(x)

@@ -27,22 +27,25 @@ def gaussian_kernel1d(ksize: int, sigma: float) -> np.ndarray:
 
 
 def _depthwise_1d(x: jnp.ndarray, kernel: np.ndarray, axis: int) -> jnp.ndarray:
-    """Depthwise conv of NHWC ``x`` with a 1-D kernel along H (axis=1) or W
-    (axis=2), reflect padding."""
-    c = x.shape[-1]
+    """Depthwise 1-D blur along H (axis=1) or W (axis=2) of NHWC ``x``,
+    reflect padding.
+
+    Implemented as a sum of statically shifted slices rather than
+    ``conv_general_dilated``: a 3-channel depthwise conv puts C=3 in the
+    lane dimension and crawls on TPU, while k shifted multiply-adds stay one
+    elementwise fusion.
+    """
     k = kernel.shape[0]
+    n = x.shape[axis]
     pad = [(0, 0)] * 4
     pad[axis] = (k // 2, k // 2)
-    x = jnp.pad(x, pad, mode="reflect")
-    if axis == 1:
-        kshape = (k, 1, 1, c)
-    else:
-        kshape = (1, k, 1, c)
-    kern = jnp.broadcast_to(jnp.asarray(kernel).reshape(
-        (k, 1, 1, 1) if axis == 1 else (1, k, 1, 1)), kshape)
-    return lax.conv_general_dilated(
-        x, kern, window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
+    xp = jnp.pad(x, pad, mode="reflect")
+    out = jnp.zeros_like(x)
+    for t in range(k):
+        sl = [slice(None)] * 4
+        sl[axis] = slice(t, t + n)
+        out = out + float(kernel[t]) * xp[tuple(sl)]
+    return out
 
 
 def gaussian_blur(img: jnp.ndarray, kernel_wh: Tuple[int, int],

@@ -166,24 +166,35 @@ def area_or_linear_weights(n_in: int, n_out: int, zoom_mode: bool) -> np.ndarray
 # Appliers
 # ---------------------------------------------------------------------------
 
+_LETTERS = "abcdefghijklmn"
+
+
 def _apply_separable(x: jnp.ndarray, wh: np.ndarray, ww: np.ndarray,
                      h_axis: int, w_axis: int,
-                     dtype: Optional[jnp.dtype] = None) -> jnp.ndarray:
+                     dtype: Optional[jnp.dtype] = None,
+                     precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """Apply per-axis weight matrices along (h_axis, w_axis) of ``x``.
 
-    HIGHEST matmul precision: on TPU the default f32 matmul runs one bf16
-    pass, which costs ~4e-3 absolute error — too much of the 1e-2 per-pixel
-    budget for resamplers that run at both ends of the pipeline. These
-    matmuls are a rounding error of total FLOPs next to the ViT, so full f32
-    is free in practice.
+    Axis-aware einsums (no moveaxis round-trips — transposing big NHWC
+    activations costs real HBM traffic). Default HIGHEST matmul precision:
+    on TPU the default f32 matmul runs one bf16 pass (~4e-3 absolute error),
+    too much of the 1e-2 budget for the pipeline-endpoint resamplers;
+    in-network call sites (which the reference runs under fp16 autocast)
+    pass bf16 dtype + DEFAULT precision instead.
     """
     compute = dtype or jnp.promote_types(x.dtype, jnp.float32)
-    wh_j = jnp.asarray(wh, compute)
-    ww_j = jnp.asarray(ww, compute)
-    x = jnp.moveaxis(x.astype(compute), (h_axis, w_axis), (-2, -1))
-    x = jnp.einsum("...hw,oh->...ow", x, wh_j, precision=jax.lax.Precision.HIGHEST)
-    x = jnp.einsum("...hw,ow->...ho", x, ww_j, precision=jax.lax.Precision.HIGHEST)
-    return jnp.moveaxis(x, (-2, -1), (h_axis, w_axis))
+    h_axis %= x.ndim
+    w_axis %= x.ndim
+    src = _LETTERS[:x.ndim]
+    x = x.astype(compute)
+
+    out_h = src.replace(src[h_axis], "o")
+    x = jnp.einsum(f"{src},o{src[h_axis]}->{out_h}", x,
+                   jnp.asarray(wh, compute), precision=precision)
+    out_w = out_h.replace(out_h[w_axis], "p")
+    x = jnp.einsum(f"{out_h},p{out_h[w_axis]}->{out_w}", x,
+                   jnp.asarray(ww, compute), precision=precision)
+    return x
 
 
 def resize_area_cv2(x: jnp.ndarray, out_hw: Tuple[int, int],
@@ -203,12 +214,15 @@ def resize_area_cv2(x: jnp.ndarray, out_hw: Tuple[int, int],
 
 def resize_bilinear(x: jnp.ndarray, out_hw: Tuple[int, int],
                     align_corners: bool = True,
-                    h_axis: int = -3, w_axis: int = -2) -> jnp.ndarray:
+                    h_axis: int = -3, w_axis: int = -2,
+                    dtype: Optional[jnp.dtype] = None,
+                    precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """torch F.interpolate(mode='bilinear') parity resize."""
     h_in, w_in = x.shape[h_axis], x.shape[w_axis]
     wh = linear_weights(h_in, out_hw[0], align_corners=align_corners)
     ww = linear_weights(w_in, out_hw[1], align_corners=align_corners)
-    return _apply_separable(x, wh, ww, h_axis, w_axis)
+    return _apply_separable(x, wh, ww, h_axis, w_axis, dtype=dtype,
+                            precision=precision)
 
 
 def resize_bicubic(x: jnp.ndarray, out_hw: Tuple[int, int],

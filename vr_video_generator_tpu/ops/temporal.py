@@ -44,21 +44,36 @@ def temporal_scan(raw_depths: jnp.ndarray, state: TemporalState,
     Per frame (reference get_depth :131-145 + get_cutoff :102-108):
       blended_t = w0*raw_t + w1*raw_{t-1} + w2*raw_{t-2}   (history = RAW maps)
       r_t = 0.5*(r_{t-1} + range(ceil(blended_t.max())))    (r_0 un-averaged)
+
+    The depth blend is a 3-tap convolution along time over RAW maps — fully
+    parallel over the batch; only the offset-range EWMA is sequential, and
+    that is a lax.scan over per-frame (2,) scalars. (A naive scan over full
+    depth maps costs ~30ms/batch of pure carry traffic.)
     """
     w0, w1, w2 = spec.cfg.dampening_weights
 
-    def body(carry: TemporalState, d_raw):
-        d1 = jnp.where(carry.has_state, carry.d_prev1, d_raw)
-        d2 = jnp.where(carry.has_state, carry.d_prev2, d_raw)
-        blended = w0 * d_raw + w1 * d1 + w2 * d2
-        r_raw = spec.frame_offset_range(blended)
-        r = jnp.where(carry.has_state,
-                      0.5 * (carry.offset_range + r_raw), r_raw)
+    d1 = jnp.where(state.has_state, state.d_prev1, raw_depths[0])
+    d2 = jnp.where(state.has_state, state.d_prev2, raw_depths[0])
+    ext = jnp.concatenate([d2[None], d1[None], raw_depths], axis=0)
+    blended = w0 * ext[2:] + w1 * ext[1:-1] + w2 * ext[:-2]
+
+    # Per-frame raw ranges (vectorized), then the sequential 50/50 EWMA.
+    ls = jnp.ceil(jnp.max(blended, axis=(1, 2)))  # (B,)
+    scale = jnp.asarray([spec.cfg.offset_bg * spec.height / 14.0,
+                         spec.cfg.offset_fg * spec.height / 14.0], jnp.float32)
+    r_raw = ls[:, None] * scale[None, :]  # (B, 2)
+
+    def body(carry, r_t):
+        r_prev, has = carry
+        r = jnp.where(has, 0.5 * (r_prev + r_t), r_t)
         # Derive from the carried flag (not a fresh constant) so the varying
         # manual-axes type is preserved under shard_map.
-        new = TemporalState(d_prev1=d_raw, d_prev2=d1, offset_range=r,
-                            has_state=carry.has_state | True)
-        return new, (blended, r)
+        return (r, has | True), r
 
-    state, (blended, ranges) = jax.lax.scan(body, state, raw_depths)
-    return blended, ranges, state
+    (r_last, _), ranges = jax.lax.scan(
+        body, (state.offset_range, state.has_state), r_raw)
+
+    new_state = TemporalState(d_prev1=ext[-1], d_prev2=ext[-2],
+                              offset_range=r_last,
+                              has_state=state.has_state | True)
+    return blended, ranges, new_state

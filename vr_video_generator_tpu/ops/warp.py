@@ -119,17 +119,20 @@ class ShiftTables(NamedTuple):
 
 
 def build_shift_tables(tables: PlaneTables, s_neg: int, s_pos: int) -> ShiftTables:
-    """Scatter the padded plane tables into shift-indexed interval tables."""
+    """Re-index the padded plane tables by shift.
+
+    Dense (S, P) one-hot reduction instead of scatter: TPU lowers scatters
+    to serialized updates (~100ms/batch measured), while a masked min/max
+    over a 67x68 matrix is one trivial fusion.
+    """
     size = s_neg + s_pos + 1
     lo_k = tables.cutoffs - 0.05 * tables.steps
     hi_k = tables.cutoffs + 1.05 * tables.steps
-    lo_k = jnp.where(tables.plane_valid, lo_k, jnp.inf)
-    hi_k = jnp.where(tables.plane_valid, hi_k, -jnp.inf)
-    idx = tables.offsets + s_neg  # out-of-range planes drop out of the scatter
-    lo = jnp.full((size,), jnp.inf).at[idx].min(lo_k, mode="drop")
-    hi = jnp.full((size,), -jnp.inf).at[idx].max(hi_k, mode="drop")
-    valid = jnp.zeros((size,), jnp.bool_).at[idx].max(tables.plane_valid,
-                                                      mode="drop")
+    shifts = jnp.arange(-s_neg, s_pos + 1, dtype=jnp.int32)
+    hit = (tables.offsets[None, :] == shifts[:, None]) & tables.plane_valid[None, :]
+    lo = jnp.min(jnp.where(hit, lo_k[None, :], jnp.inf), axis=1)
+    hi = jnp.max(jnp.where(hit, hi_k[None, :], -jnp.inf), axis=1)
+    valid = jnp.any(hit, axis=1)
     return ShiftTables(lo=lo, hi=hi, valid=valid,
                        fill_offset=tables.fill_offset,
                        edge_width=tables.edge_width)
