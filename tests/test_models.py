@@ -70,6 +70,22 @@ def test_infer_depth_parity(vits_pair):
     assert np.abs(ours - ref).max() / scale < 5e-3
 
 
+def test_vitb_forward_parity():
+    """Converter + model parity for the vitb family (different widths, taps
+    identical; exercises the per-encoder config table)."""
+    tmodel = build_torch_model("vitb")
+    cfg = ModelConfig.for_encoder("vitb")
+    params = convert_state_dict(tmodel.state_dict(), cfg)
+    jmodel = DepthAnythingV2(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((1, 70, 70, 3), dtype=np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    ours = np.asarray(jmodel.apply({"params": params}, jnp.asarray(x)))
+    scale = max(np.abs(ref).max(), 1e-6)
+    assert np.abs(ours - ref).max() / scale < 2e-3
+
+
 def test_jit_and_batch(vits_pair):
     _, jmodel, params = vits_pair
     rng = np.random.default_rng(3)

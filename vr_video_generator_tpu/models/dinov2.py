@@ -22,6 +22,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from vr_video_generator_tpu.ops.attention import mha
 from vr_video_generator_tpu.ops.resize import resize_bicubic
 from vr_video_generator_tpu.utils.config import ModelConfig
 
@@ -80,8 +81,7 @@ class Attention(nn.Module):
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        out = jax.nn.dot_product_attention(
-            q, k, v, scale=head_dim ** -0.5, implementation="xla")
+        out = mha(q, k, v, scale=head_dim ** -0.5)
         out = out.reshape(b, n, c)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 

@@ -36,7 +36,12 @@ def load_model(encoder: str, encoder_path: Optional[str] = None,
     """
     cfg = ModelConfig.for_encoder(encoder)
     model = DepthAnythingV2(cfg, dtype=dtype)
-    if encoder_path and os.path.exists(encoder_path):
+    if encoder_path and os.path.isdir(encoder_path):
+        # native Orbax checkpoint dir (models/checkpoint.py)
+        from vr_video_generator_tpu.models import checkpoint
+
+        params = checkpoint.load(encoder_path)
+    elif encoder_path and os.path.exists(encoder_path):
         params = load_checkpoint(encoder_path, cfg)
         params = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)), params)
     elif allow_random:

@@ -48,11 +48,13 @@ def convert_range(cfg: RunConfig, begin: int, end: int,
     writer = SubclipWriter(cfg.subclip_dir, fps, 2 * width, height,
                            ffmpeg_config=ffmpeg_config)
     log = log or WorkerLog(os.path.join(cfg.debug_dir, f"segment_{begin}.txt"))
+    profile_csv = os.path.join(cfg.debug_dir, f"segment_{begin}_profile.csv")
     try:
         with VideoReader(cfg.video_dir, begin=begin) as reader:
             return process_segment(pipeline, reader, writer, begin, end,
                                    max_frame_count=cfg.max_frame_count,
-                                   batch_size=cfg.batch_size, log=log)
+                                   batch_size=cfg.batch_size, log=log,
+                                   profile_csv=profile_csv)
     except Exception as e:  # error funnel parity (reference :259-272)
         log.error(f"Segment {begin} failed", e,
                   error_path=os.path.join(cfg.debug_dir, "ERROR.txt"))

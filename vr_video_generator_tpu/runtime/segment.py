@@ -49,8 +49,13 @@ def process_segment(pipeline: SbsPipeline, reader: VideoReader,
                     writer: SubclipWriter, begin: int, end: int,
                     max_frame_count: int, batch_size: int = 8,
                     log: Optional[WorkerLog] = None,
-                    report_every: int = 1) -> int:
+                    report_every: int = 1,
+                    timer: Optional["StageTimer"] = None,
+                    profile_csv: Optional[str] = None) -> int:
     """Convert frames [begin, end); returns the number of frames written."""
+    from vr_video_generator_tpu.utils.profiling import StageTimer
+
+    timer = timer or StageTimer()
     log = log or WorkerLog(None)
     total = end - begin
     meter = ProgressMeter(total, log)
@@ -78,7 +83,8 @@ def process_segment(pipeline: SbsPipeline, reader: VideoReader,
             clips_written += 1
 
     while True:
-        batch = batches.get()
+        with timer.stage("decode_wait"):
+            batch = batches.get()
         if batch is None:
             break
         # pad the final short batch to the compiled batch size
@@ -86,11 +92,15 @@ def process_segment(pipeline: SbsPipeline, reader: VideoReader,
         if n_real < batch_size:
             pad = np.repeat(batch[-1:], batch_size - n_real, axis=0)
             batch = np.concatenate([batch, pad], axis=0)
-        sbs_dev, state = pipeline.step(batch, state)
+        with timer.stage("device_dispatch"):
+            sbs_dev, state = pipeline.step(batch, state)
         if prev_sbs is not None:
             sbs_np, n_prev = prev_sbs
-            pending.extend(np.asarray(sbs_np)[:n_prev])
-            flush(force=False)
+            with timer.stage("device_readback"):
+                host = np.asarray(sbs_np)
+            pending.extend(host[:n_prev])
+            with timer.stage("encode"):
+                flush(force=False)
         prev_sbs = (sbs_dev, n_real)
         frames_done += n_real
         if frames_done % (batch_size * report_every) == 0:
@@ -98,10 +108,15 @@ def process_segment(pipeline: SbsPipeline, reader: VideoReader,
 
     if prev_sbs is not None:
         sbs_np, n_prev = prev_sbs
-        pending.extend(np.asarray(sbs_np)[:n_prev])
-    flush(force=True)
-    writer.wait()
+        with timer.stage("device_readback"):
+            host = np.asarray(sbs_np)
+        pending.extend(host[:n_prev])
+    with timer.stage("encode"):
+        flush(force=True)
+        writer.wait()
     decoder.join()
     meter.report(max(frames_done, 1))
+    if profile_csv:
+        timer.dump_csv(profile_csv)
     log.write("Worker ending")
     return frames_done
