@@ -39,7 +39,7 @@ def main() -> None:
     from vr_video_generator_tpu.utils.config import ModelConfig, RunConfig
 
     on_tpu = jax.default_backend() == "tpu"
-    h, w, b = (1080, 1920, 8) if on_tpu else (270, 480, 2)
+    h, w, b = (1080, 1920, 16) if on_tpu else (270, 480, 2)
 
     model = DepthAnythingV2(ModelConfig.for_encoder("vits"),
                             dtype=jnp.bfloat16 if on_tpu else jnp.float32)

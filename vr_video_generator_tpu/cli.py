@@ -85,7 +85,9 @@ def parse_run_config(argv: Optional[List[str]] = None) -> tuple[RunConfig, bool]
 def main(argv: Optional[List[str]] = None) -> int:
     cfg, allow_random = parse_run_config(argv)
     from vr_video_generator_tpu.runtime.orchestrator import run
+    from vr_video_generator_tpu.utils.cache import enable_compilation_cache
 
+    enable_compilation_cache()
     run(cfg, allow_random=allow_random)
     return 0
 

@@ -172,15 +172,16 @@ _LETTERS = "abcdefghijklmn"
 def _apply_separable(x: jnp.ndarray, wh: np.ndarray, ww: np.ndarray,
                      h_axis: int, w_axis: int,
                      dtype: Optional[jnp.dtype] = None,
-                     precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+                     precision=jax.lax.Precision.HIGH) -> jnp.ndarray:
     """Apply per-axis weight matrices along (h_axis, w_axis) of ``x``.
 
     Axis-aware einsums (no moveaxis round-trips — transposing big NHWC
-    activations costs real HBM traffic). Default HIGHEST matmul precision:
-    on TPU the default f32 matmul runs one bf16 pass (~4e-3 absolute error),
-    too much of the 1e-2 budget for the pipeline-endpoint resamplers;
-    in-network call sites (which the reference runs under fp16 autocast)
-    pass bf16 dtype + DEFAULT precision instead.
+    activations costs real HBM traffic). Default HIGH matmul precision
+    (bf16_3x, ~1e-5 absolute): the default f32 matmul on TPU runs one bf16
+    pass (~4e-3 absolute error) — too much of the 1e-2 budget for the
+    pipeline-endpoint resamplers — while HIGHEST (bf16_6x) doubles the cost
+    for accuracy below other error sources. In-network call sites (which the
+    reference runs under fp16 autocast) pass bf16 dtype + DEFAULT precision.
     """
     compute = dtype or jnp.promote_types(x.dtype, jnp.float32)
     h_axis %= x.ndim
@@ -216,7 +217,7 @@ def resize_bilinear(x: jnp.ndarray, out_hw: Tuple[int, int],
                     align_corners: bool = True,
                     h_axis: int = -3, w_axis: int = -2,
                     dtype: Optional[jnp.dtype] = None,
-                    precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+                    precision=jax.lax.Precision.HIGH) -> jnp.ndarray:
     """torch F.interpolate(mode='bilinear') parity resize."""
     h_in, w_in = x.shape[h_axis], x.shape[w_axis]
     wh = linear_weights(h_in, out_hw[0], align_corners=align_corners)
