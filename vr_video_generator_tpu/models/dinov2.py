@@ -166,11 +166,20 @@ class DinoVisionTransformer(nn.Module):
         b, h, w, _ = x.shape
         ph, pw = h // cfg.patch_size, w // cfg.patch_size
 
-        # Patch embedding: 14x14/s14 conv (reference patch_embed.py:26-89).
-        x = nn.Conv(cfg.embed_dim, (cfg.patch_size, cfg.patch_size),
-                    strides=(cfg.patch_size, cfg.patch_size), padding="VALID",
-                    dtype=self.dtype, name="patch_embed")(x.astype(self.dtype))
-        x = x.reshape(b, ph * pw, cfg.embed_dim)
+        # Patch embedding: 14x14/s14 conv (reference patch_embed.py:26-89),
+        # expressed as patch-extract reshape + one GEMM — XLA lowers the
+        # strided 3-channel conv itself ~100x off MXU peak (14ms/batch).
+        p = cfg.patch_size
+        kernel = self.param("patch_embed",
+                            lambda key: {"kernel": nn.initializers.lecun_normal()(
+                                key, (p, p, 3, cfg.embed_dim), jnp.float32),
+                                "bias": jnp.zeros((cfg.embed_dim,), jnp.float32)})
+        patches = x.astype(self.dtype).reshape(b, ph, p, pw, p, 3)
+        patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(
+            b, ph * pw, p * p * 3)
+        w_flat = kernel["kernel"].astype(self.dtype).reshape(p * p * 3,
+                                                             cfg.embed_dim)
+        x = patches @ w_flat + kernel["bias"].astype(self.dtype)
 
         cls_token = self.param("cls_token", nn.initializers.zeros,
                                (1, 1, cfg.embed_dim), jnp.float32)
