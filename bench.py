@@ -39,7 +39,7 @@ def main() -> None:
     from vr_video_generator_tpu.utils.config import ModelConfig, RunConfig
 
     on_tpu = jax.default_backend() == "tpu"
-    h, w, b = (1080, 1920, 16) if on_tpu else (270, 480, 2)
+    h, w, b = (1080, 1920, 8) if on_tpu else (270, 480, 2)
 
     model = DepthAnythingV2(ModelConfig.for_encoder("vits"),
                             dtype=jnp.bfloat16 if on_tpu else jnp.float32)
@@ -47,27 +47,40 @@ def main() -> None:
     cfg = RunConfig(batch_size=b, input_size=518 if on_tpu else 126)
     pipe = SbsPipeline(model, params, h, w, run_cfg=cfg)
 
+    k_steps = 8 if on_tpu else 2
+
     @jax.jit
-    def step(params, frames, state):
-        sbs, state = pipe._step_impl(params, frames, state)
-        # consume every output pixel so nothing dead-code-eliminates
-        return jnp.sum(sbs, dtype=jnp.uint32), state
+    def chained(params, frames, state):
+        def body(carry, _):
+            frames, state = carry
+            sbs, state = pipe._step_impl(params, frames, state)
+            # consume every output pixel so nothing dead-code-eliminates
+            cs = jnp.sum(sbs, dtype=jnp.uint32)
+            # Serializing data dependency: the next iteration's frames depend
+            # on this iteration's checksum (the condition is never true, but
+            # XLA cannot prove it). Without this, XLA overlaps scan
+            # iterations and peak memory scales with the trip count.
+            frames = jnp.where(cs == jnp.uint32(0xFFFFFFFF), frames ^ 1, frames)
+            return (frames, state), cs
+        (_, state), sums = jax.lax.scan(body, (frames, state), None,
+                                        length=k_steps)
+        return sums, state
 
     rng = np.random.default_rng(0)
     frames = jnp.asarray(rng.integers(0, 256, (b, h, w, 3), dtype=np.uint8))
-    state = pipe.initial_state()
 
-    checksum, state = step(params, frames, state)  # compile + warmup
-    _ = np.asarray(checksum)
+    sums, _ = chained(params, frames, pipe.initial_state())  # compile+warmup
+    _ = np.asarray(sums)
 
-    iters = 10 if on_tpu else 3
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        checksum, state = step(params, frames, state)
-        _ = np.asarray(checksum)  # per-step scalar readback forces completion
-    dt = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(3):
+        state = pipe.initial_state()
+        t0 = time.perf_counter()
+        sums, _ = chained(params, frames, state)
+        _ = np.asarray(sums)  # scalar readback forces completion
+        best = min(best, time.perf_counter() - t0)
 
-    fps = iters * b / dt
+    fps = k_steps * b / best
     baseline_fps = 12.0  # reference Journal.txt:33 (2.5x realtime at 30fps)
     print(json.dumps({
         "metric": f"sbs_fps_{h}p_vits_depth_warp_fused",

@@ -1,11 +1,8 @@
 #!/usr/bin/env python
-"""Compare warp implementations (scan / xla / pallas) on the current backend.
-
-Uses checksum-only readback (see bench.py) so host-link bandwidth doesn't
-pollute device timing. Run on TPU: python scripts/perf_compare.py
+"""Compare warp implementations (xla / pallas / scan) on the current backend
+with honest in-jit timing (utils/benchlib.py). Run on TPU:
+    python scripts/perf_compare.py
 """
-
-import time
 
 import numpy as np
 
@@ -14,39 +11,35 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from vr_video_generator_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from vr_video_generator_tpu.ops.temporal import TemporalState, temporal_scan
     from vr_video_generator_tpu.ops.warp import WarpSpec
+    from vr_video_generator_tpu.utils.benchlib import device_time
     from vr_video_generator_tpu.utils.config import StereoConfig
 
-    h, w, b = (1080, 1920, 8) if jax.default_backend() == "tpu" else (216, 384, 2)
+    on_tpu = jax.default_backend() == "tpu"
+    h, w, b = (1080, 1920, 8) if on_tpu else (216, 384, 2)
     rng = np.random.default_rng(0)
     frames = jnp.asarray(rng.integers(0, 256, (b, h, w, 3), dtype=np.uint8))
-    depth = jnp.asarray((rng.random((b, h, w), dtype=np.float32) * 9.0))
+    depth = jnp.asarray(rng.random((b, h, w), dtype=np.float32) * 9.0)
 
     for impl in ("xla", "pallas", "scan"):
+        if impl == "pallas" and not on_tpu:
+            continue
         spec = WarpSpec.create(h, w, StereoConfig(), impl=impl)
 
-        @jax.jit
         def run(frames, depth):
             state = TemporalState.initial(h, w)
             blended, ranges, _ = temporal_scan(depth, state, spec)
-            sbs = jax.vmap(spec.warp)(frames, blended, ranges)
-            return jnp.sum(sbs, dtype=jnp.uint32)
+            return jax.vmap(spec.warp)(frames, blended, ranges)
 
         try:
-            t0 = time.perf_counter()
-            _ = np.asarray(run(frames, depth))
-            compile_s = time.perf_counter() - t0
-            iters = 10
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                _ = np.asarray(run(frames, depth))
-            dt = (time.perf_counter() - t0) / iters
-            print(f"{impl:7s}: {dt / b * 1000:.2f} ms/frame "
-                  f"({b / dt:.1f} fps, compile {compile_s:.0f}s)")
+            per_call, _ = device_time(run, frames, depth, k=4 if on_tpu else 2)
+            print(f"{impl:7s}: {per_call / b * 1000:.2f} ms/frame "
+                  f"({b / per_call:.1f} fps)")
         except Exception as e:
             print(f"{impl:7s}: FAILED {str(e)[:200]}")
 
