@@ -1,35 +1,39 @@
-"""Headline benchmark: SBS conversion throughput at 1080p with DA-V2-Small.
+"""Headline benchmark: SBS conversion throughput, BASELINE.json configs.
 
 Measures the full fused device pipeline (preprocess + depth net + temporal
-smoothing + warp/fill + SBS concat). The jitted step returns the carried
-temporal state plus a uint32 checksum of the SBS output — only the checksum
-is fetched per step, so timing reflects device throughput + dispatch, not
-host-link bandwidth for the 100MB/batch of pixels (which production runs
-stream through the overlapped encode path instead).
+smoothing + warp/fill + SBS concat). K steps run inside ONE jitted lax.scan
+with a serializing data dependency (see utils/benchlib.py) and only a uint32
+checksum is fetched, so timing reflects pure device throughput — production
+runs stream pixels through the overlapped encode path instead.
 
-Prints ONE JSON line. Baseline: the reference's end-to-end ~12 fps SBS at
-1080p on an RTX 2080 Ti (reference Journal.txt:33; BASELINE.md).
+Default (no args) runs the headline config: DA-V2-Small at 1080p, one chip —
+and prints ONE JSON line. ``--config N`` selects the other BASELINE configs.
+Baseline: the reference's end-to-end ~12 fps SBS at 1080p on an RTX 2080 Ti
+(reference Journal.txt:33; BASELINE.md).
 """
 
+import argparse
 import json
-import os
 import time
 
 import numpy as np
 
+# (encoder, height, width, batch, offset_step_size) per BASELINE.json configs
+CONFIGS = {
+    1: ("vits", 480, 854, 8, 2),    # 480p clip, step 2 (CPU-runnable small)
+    2: ("vits", 1080, 1920, 8, 1),  # headline: 1080p full pipeline
+    3: ("vitb", 1080, 1920, 8, 1),  # vitb, per-pixel step 1
+    4: ("vitl", 1440, 2560, 4, 1),  # vitl 1440p
+    5: ("vitl", 2160, 3840, 2, 1),  # vitl 4K (frame-sharded on pods)
+}
 
-def main() -> None:
+
+def run_config(config: int) -> dict:
     import jax
 
-    # Persistent compilation cache: the first run pays the XLA compile;
-    # later runs start in seconds.
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from vr_video_generator_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     import jax.numpy as jnp
 
@@ -39,12 +43,15 @@ def main() -> None:
     from vr_video_generator_tpu.utils.config import ModelConfig, RunConfig
 
     on_tpu = jax.default_backend() == "tpu"
-    h, w, b = (1080, 1920, 8) if on_tpu else (270, 480, 2)
+    encoder, h, w, b, step = CONFIGS[config]
+    if not on_tpu:  # CPU smoke: shrink so the bench stays runnable anywhere
+        encoder, h, w, b = "vits", 270, 480, 2
 
-    model = DepthAnythingV2(ModelConfig.for_encoder("vits"),
+    model = DepthAnythingV2(ModelConfig.for_encoder(encoder),
                             dtype=jnp.bfloat16 if on_tpu else jnp.float32)
     params = random_params(model)
-    cfg = RunConfig(batch_size=b, input_size=518 if on_tpu else 126)
+    cfg = RunConfig(batch_size=b, input_size=518 if on_tpu else 126,
+                    offset_step_size=step, encoder=encoder)
     pipe = SbsPipeline(model, params, h, w, run_cfg=cfg)
 
     k_steps = 8 if on_tpu else 2
@@ -82,12 +89,19 @@ def main() -> None:
 
     fps = k_steps * b / best
     baseline_fps = 12.0  # reference Journal.txt:33 (2.5x realtime at 30fps)
-    print(json.dumps({
-        "metric": f"sbs_fps_{h}p_vits_depth_warp_fused",
+    return {
+        "metric": f"sbs_fps_{h}p_{encoder}_depth_warp_fused",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline_fps, 2),
-    }))
+    }
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=int, default=2, choices=sorted(CONFIGS))
+    args, _ = parser.parse_known_args()
+    print(json.dumps(run_config(args.config)))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""End-to-end parity report: our SBS output vs the reference algorithm.
+
+Reference side = the upstream PyTorch Depth-Anything-V2 (imported read-only
+from /root/reference, CPU fp32) + the numpy oracle port of SbsProcessor
+(tests/oracle/warp_oracle.py). Our side = the full jitted pipeline with
+converted weights. Reports per-frame mean/max absolute pixel difference
+(normalized to [0,1]) and the mismatch fraction — the 1e-2 per-pixel gate of
+the rebuild's north star (BASELINE.md).
+
+With --encoder_path pointing at a real .pth both sides use real weights;
+without it, seeded random torch weights are converted so the comparison
+still exercises every numerical path.
+
+Usage:
+    python scripts/parity_report.py --video in.mp4 [--frames 8]
+        [--encoder vits --encoder_path ckpt.pth] [--input_size 518]
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--video", required=True)
+    parser.add_argument("--frames", type=int, default=8)
+    parser.add_argument("--encoder", default="vits")
+    parser.add_argument("--encoder_path", default=None)
+    parser.add_argument("--input_size", type=int, default=518)
+    parser.add_argument("--gate", type=float, default=1e-2)
+    args = parser.parse_args()
+
+    import torch
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")  # fp32 apples-to-apples
+    import jax.numpy as jnp
+
+    from tests.oracle.warp_oracle import OracleSbs
+    from tests.torch_ref import build_torch_model, load_reference_dav2
+    from vr_video_generator_tpu.models.convert import convert_state_dict
+    from vr_video_generator_tpu.models.depth_anything_v2 import DepthAnythingV2
+    from vr_video_generator_tpu.pipeline import SbsPipeline
+    from vr_video_generator_tpu.utils.config import DEPTH_SCALERS, ModelConfig, RunConfig
+    from vr_video_generator_tpu.video.reader import VideoReader
+
+    if args.encoder_path and os.path.exists(args.encoder_path):
+        TorchDAV2 = load_reference_dav2()
+        configs = {"vits": dict(features=64, out_channels=[48, 96, 192, 384]),
+                   "vitb": dict(features=128, out_channels=[96, 192, 384, 768]),
+                   "vitl": dict(features=256, out_channels=[256, 512, 1024, 1024])}
+        tmodel = TorchDAV2(encoder=args.encoder, device="cpu",
+                           **configs[args.encoder])
+        tmodel.load_state_dict(torch.load(args.encoder_path, map_location="cpu",
+                                          weights_only=True))
+        tmodel = tmodel.eval()
+    else:
+        print("note: no checkpoint given — using seeded random weights")
+        tmodel = build_torch_model(args.encoder)
+
+    cfg = ModelConfig.for_encoder(args.encoder)
+    params = convert_state_dict(tmodel.state_dict(), cfg)
+    scaler = DEPTH_SCALERS[args.encoder]
+
+    with VideoReader(args.video) as reader:
+        frames = [f for _, f in zip(range(args.frames), reader.frames(0, args.frames))]
+    frames = np.stack(frames)
+    h, w = frames.shape[1:3]
+
+    run_cfg = RunConfig(batch_size=len(frames), input_size=args.input_size,
+                        compute_dtype="float32", encoder=args.encoder)
+    jmodel = DepthAnythingV2(cfg, dtype=jnp.float32)
+    pipe = SbsPipeline(jmodel, params, h, w, run_cfg=run_cfg)
+    ours, _ = pipe.step(frames, pipe.initial_state())
+    ours = np.asarray(ours)
+
+    oracle = OracleSbs()
+    worst_mean = worst_max = worst_frac = 0.0
+    for i, frame in enumerate(frames):
+        with torch.no_grad():
+            depth = tmodel.infer_image(frame[:, :, ::-1],
+                                       input_size=args.input_size) * scaler
+        ref = oracle.process(frame, depth)
+        diff = np.abs(ours[i].astype(np.float64) - ref.astype(np.float64)) / 255.0
+        frac = (diff > 0).mean()
+        print(f"frame {i}: mean={diff.mean():.5f} max={diff.max():.3f} "
+              f"mismatch_frac={frac:.5f}")
+        worst_mean = max(worst_mean, diff.mean())
+        worst_max = max(worst_max, diff.max())
+        worst_frac = max(worst_frac, frac)
+
+    ok = worst_mean <= args.gate
+    print(f"RESULT: worst mean abs diff {worst_mean:.5f} "
+          f"({'PASS' if ok else 'FAIL'} vs gate {args.gate})")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -73,3 +73,15 @@ def test_sharded_state_carries(tiny_model, rng):
     _, s = single.step(frames[:2], s)
     ref2, _ = single.step(frames[:2], s)
     np.testing.assert_array_equal(np.asarray(out2)[:2], np.asarray(ref2))
+
+
+def test_multihost_helpers_single_process():
+    from vr_video_generator_tpu.parallel.multihost import (
+        initialize,
+        local_data_slots,
+        make_global_mesh,
+    )
+
+    initialize()  # no-op on single host
+    mesh = make_global_mesh((4, 2))
+    assert local_data_slots(mesh) == [0, 1, 2, 3]

@@ -129,3 +129,42 @@ def test_temporal_state_carries_across_batches(rng):
             jnp.asarray(depths[lo:lo + 2]), state, spec)
         outs.append(np.asarray(warp(jnp.asarray(imgs[lo:lo + 2]), blended, ranges)))
     np.testing.assert_array_equal(np.concatenate(outs), full)
+
+
+@pytest.mark.parametrize("kwargs", [
+    dict(offset_step_size=2),                       # BASELINE config 1
+    dict(offset_fg=0.04, offset_bg=-0.02),          # wider disparity range
+    dict(offset_fg=0.012, offset_bg=-0.004),        # narrow range
+])
+def test_warp_sequence_matches_oracle_configs(rng, kwargs):
+    cfg = StereoConfig(**kwargs).normalized()
+    oracle = OracleSbs(offset_fg=cfg.offset_fg, offset_bg=cfg.offset_bg,
+                       offset_step_size=cfg.offset_step_size)
+    imgs = np.stack([synth_img(rng) for _ in range(2)])
+    depths = np.stack([synth_depth(rng, tmax=5.0 + 3 * i) for i in range(2)])
+    ref = np.stack([oracle.process(imgs[i], depths[i]) for i in range(2)])
+    ours, _ = _run_jax_sequence(imgs, depths, cfg)
+    mismatch = (ours != ref).any(axis=-1).mean()
+    assert mismatch < 5e-3, f"pixel mismatch fraction {mismatch}"
+
+
+def test_warp_flat_depth(rng):
+    """Degenerate depth (all one plane) must not crash or NaN."""
+    cfg = StereoConfig().normalized()
+    imgs = synth_img(rng)[None]
+    depths = np.full((1, H, W), 4.2, np.float32)
+    ours, _ = _run_jax_sequence(imgs, depths, cfg)
+    oracle = OracleSbs()
+    ref = oracle.process(imgs[0], depths[0])
+    mismatch = (ours[0] != ref).any(axis=-1).mean()
+    assert mismatch < 5e-3
+
+
+def test_warp_zero_depth(rng):
+    """All-zero depth (black frame path) — reference would hit ls=0."""
+    cfg = StereoConfig().normalized()
+    imgs = synth_img(rng)[None]
+    depths = np.zeros((1, H, W), np.float32)
+    ours, _ = _run_jax_sequence(imgs, depths, cfg)
+    assert ours.dtype == np.uint8
+    np.testing.assert_array_equal(ours[0, :, W:], imgs[0])
