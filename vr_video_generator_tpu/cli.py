@@ -50,6 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--allow_random_weights", action="store_true",
                    help="run with seeded random model weights when no "
                         "checkpoint is available (smoke tests/benchmarks)")
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="write a jax.profiler trace of the conversion here")
     return p
 
 
@@ -78,6 +80,7 @@ def parse_run_config(argv: Optional[List[str]] = None) -> tuple[RunConfig, bool]
         repair_mode=args.repair_mode, batch_size=args.batch_size,
         input_size=args.input_size, compute_dtype=args.compute_dtype,
         warp_impl=args.warp_impl, encoder_device=args.encoder_device,
+        profile_dir=args.profile_dir,
     )
     return cfg, args.allow_random_weights
 
@@ -85,8 +88,12 @@ def parse_run_config(argv: Optional[List[str]] = None) -> tuple[RunConfig, bool]
 def main(argv: Optional[List[str]] = None) -> int:
     cfg, allow_random = parse_run_config(argv)
     from vr_video_generator_tpu.runtime.orchestrator import run
-    from vr_video_generator_tpu.utils.cache import enable_compilation_cache
+    from vr_video_generator_tpu.utils.cache import (
+        enable_compilation_cache,
+        honor_platform_env,
+    )
 
+    honor_platform_env()
     enable_compilation_cache()
     run(cfg, allow_random=allow_random)
     return 0

@@ -46,7 +46,8 @@ def convert_range(cfg: RunConfig, begin: int, end: int,
     _, ffmpeg_config = get_ffmpeg_config(cfg.video_dir, cfg.encoder_device) \
         if cfg.encoder_device else (None, None)
     writer = SubclipWriter(cfg.subclip_dir, fps, 2 * width, height,
-                           ffmpeg_config=ffmpeg_config)
+                           ffmpeg_config=ffmpeg_config,
+                           max_concurrent=max(1, cfg.num_workers))
     log = log or WorkerLog(os.path.join(cfg.debug_dir, f"segment_{begin}.txt"))
     profile_csv = os.path.join(cfg.debug_dir, f"segment_{begin}_profile.csv")
     try:
@@ -73,8 +74,11 @@ def run(cfg: RunConfig, allow_random: bool = False) -> None:
         remove_all_files(cfg.subclip_dir)
 
     if cfg.repair_mode in (0, 1):
-        convert_range(cfg, cfg.start_frame, cfg.end_frame,
-                      allow_random=allow_random)
+        from vr_video_generator_tpu.utils.profiling import trace
+
+        with trace(cfg.profile_dir or None):
+            convert_range(cfg, cfg.start_frame, cfg.end_frame,
+                          allow_random=allow_random)
     if cfg.repair_mode in (0, 2):
         combine_clips(cfg.subclip_dir, cfg.video_dir, cfg.output_dir,
                       just_combine=0)

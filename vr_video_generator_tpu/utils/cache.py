@@ -5,6 +5,21 @@ from __future__ import annotations
 import os
 
 
+def honor_platform_env() -> None:
+    """Make JAX_PLATFORMS authoritative even when a site plugin pinned
+    jax_platforms at interpreter start (this environment's TPU plugin does);
+    must run before any backend initializes."""
+    env = os.environ.get("JAX_PLATFORMS")
+    if not env:
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", env)
+    except Exception:
+        pass
+
+
 def enable_compilation_cache(cache_dir: str | None = None) -> None:
     import jax
 

@@ -166,6 +166,7 @@ class RunConfig:
     mesh_shape: Optional[Tuple[int, ...]] = None  # None -> all devices on 'data'
     encoder_device: str = "cpu"   # ffmpeg video-encoder selection ('cpu'|'nvidia')
     warp_impl: str = "auto"       # 'auto' | 'xla' | 'pallas'
+    profile_dir: str = ""         # jax.profiler trace output dir ("" = off)
 
     def stereo(self) -> StereoConfig:
         return StereoConfig(offset_fg=self.offset_fg, offset_bg=self.offset_bg,

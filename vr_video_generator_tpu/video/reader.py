@@ -38,7 +38,13 @@ def find_binary(name: str) -> Optional[str]:
 
 def probe_video(path: str) -> Tuple[float, int, int, int]:
     """(fps, frame_count, width, height) — reference load_and_set_video
-    (SupportFunction.py:170-177) without keeping the capture open."""
+    (SupportFunction.py:170-177) without keeping the capture open.
+
+    Fails fast on a missing file: cv2 would silently report 0 frames and the
+    pipeline would only fail much later at the combine step.
+    """
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"video not found: {path!r}")
     cap = cv2.VideoCapture(path)
     try:
         fps = cap.get(cv2.CAP_PROP_FPS)

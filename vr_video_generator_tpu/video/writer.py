@@ -51,11 +51,16 @@ class SubclipWriter:
     """Writes batches of SBS frames as ``{begin}_{end}.mp4`` subclips."""
 
     def __init__(self, subclip_dir: str, fps: float, width: int, height: int,
-                 ffmpeg_config: Optional[List[str]] = None, backend: str = "auto"):
+                 ffmpeg_config: Optional[List[str]] = None, backend: str = "auto",
+                 max_concurrent: int = 1):
         os.makedirs(subclip_dir, exist_ok=True)
         self.subclip_dir = subclip_dir
         self.fps, self.width, self.height = fps, width, height
-        self._prev_proc: Optional[subprocess.Popen] = None
+        # Up to max_concurrent encoder subprocesses in flight — the host-tier
+        # analog of the reference's Num_Workers segment-encode parallelism
+        # (each reference worker owned one ffmpeg pipe).
+        self.max_concurrent = max(1, max_concurrent)
+        self._procs: List[subprocess.Popen] = []
         if backend == "auto":
             backend = "ffmpeg" if find_binary("ffmpeg") else "cv2"
         self.backend = backend
@@ -69,7 +74,10 @@ class SubclipWriter:
         end_inclusive = begin + len(frames) - 1
         path = self._path(begin, end_inclusive)
         if self.backend == "ffmpeg":
-            self.wait()  # reference waits for the previous encoder (:241-242)
+            # Reference semantics with max_concurrent=1: wait for the previous
+            # encoder before starting the next (:241-242).
+            while len(self._procs) >= self.max_concurrent:
+                self._procs.pop(0).wait()
             config = self.ffmpeg_config
             if config is None:
                 ffmpeg = find_binary("ffmpeg")
@@ -83,7 +91,7 @@ class SubclipWriter:
             for frame in frames:
                 proc.stdin.write(np.ascontiguousarray(frame).tobytes())
             proc.stdin.close()
-            self._prev_proc = proc
+            self._procs.append(proc)
         else:
             writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
                                      self.fps, (self.width, self.height))
@@ -95,9 +103,8 @@ class SubclipWriter:
         return path
 
     def wait(self) -> None:
-        if self._prev_proc is not None:
-            self._prev_proc.wait()
-            self._prev_proc = None
+        while self._procs:
+            self._procs.pop(0).wait()
 
     def close(self) -> None:
         self.wait()
