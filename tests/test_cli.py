@@ -59,3 +59,20 @@ def test_ui_command_preview():
     out = cmd[cmd.index("--OutputDir") + 1]
     assert out == "/tmp/SBS My Movie.mkv"
     assert auto_output_name("a/b.mp4") == "a/SBS b.mkv"
+
+
+def test_pipeline_process_run_stop():
+    import sys
+    import time
+
+    from vr_video_generator_tpu.ui.app import PipelineProcess
+
+    proc = PipelineProcess()
+    assert not proc.running()
+    proc.start([sys.executable, "-c", "import time; time.sleep(60)"])
+    assert proc.running()
+    t0 = time.time()
+    proc.stop()
+    assert time.time() - t0 < 12
+    assert not proc.running()
+    proc.stop()  # idempotent

@@ -48,25 +48,42 @@ def _warp_kernel(lo_ref, hi_ref, valid_ref, fill_ref,  # SMEM scalars/tables
                  *, s_neg: int, s_pos: int):
     """rgb_ref holds the image packed r | g<<8 | b<<16 as uint32 — Mosaic's
     lane rotate only supports 32-bit data, and one packed roll per shift
-    beats three channel rolls anyway."""
+    beats three channel rolls anyway.
+
+    Per-shift work is predicated on the shift's validity (``pl.when``): the
+    padded static shift range covers the worst-case depth ceiling
+    (StereoConfig.limit_step_cap), so at typical depth ranges a third or
+    more of the shifts are dead and skip their rolls entirely.
+    """
     depth = depth_ref[:, :]
     rgb = rgb_ref[:, :]
     fill_offset = fill_ref[0, 0]
 
-    covered = jnp.zeros(depth.shape, jnp.bool_)
-    comp = jnp.zeros(depth.shape, jnp.uint32)
-    fill = jnp.zeros(depth.shape, jnp.uint32)
+    cov_ref[:, :] = jnp.zeros(depth.shape, jnp.bool_)
+    out_ref[:, :] = jnp.zeros(depth.shape, jnp.uint32)
 
-    for j, s in enumerate(range(-s_neg, s_pos + 1)):
-        d_s = _roll_lanes(depth, s)
-        m = (valid_ref[0, j] != 0) & (lo_ref[0, j] <= d_s) & (d_s < hi_ref[0, j])
-        rolled = _roll_lanes(rgb, s)
-        comp = jnp.where(m, rolled, comp)
-        fill = jnp.where(s == fill_offset, rolled, fill)
-        covered = covered | m
+    def body(fill_scratch):
+        for j, s in enumerate(range(-s_neg, s_pos + 1)):
+            is_fill = s == fill_offset
+            live = (valid_ref[0, j] != 0) | is_fill
 
-    cov_ref[:, :] = covered
-    out_ref[:, :] = jnp.where(covered, comp, fill)
+            @pl.when(live)
+            def _(j=j, s=s, is_fill=is_fill):
+                d_s = _roll_lanes(depth, s)
+                m = ((valid_ref[0, j] != 0)
+                     & (lo_ref[0, j] <= d_s) & (d_s < hi_ref[0, j]))
+                rolled = _roll_lanes(rgb, s)
+                out_ref[:, :] = jnp.where(m, rolled, out_ref[:, :])
+                cov_ref[:, :] = cov_ref[:, :] | m
+
+                @pl.when(is_fill)
+                def _():
+                    fill_scratch[:, :] = rolled
+
+        covered = cov_ref[:, :]
+        out_ref[:, :] = jnp.where(covered, out_ref[:, :], fill_scratch[:, :])
+
+    pl.run_scoped(body, pltpu.VMEM(depth.shape, jnp.uint32))
 
 
 @functools.partial(jax.jit, static_argnames=("s_neg", "s_pos", "block_rows",
