@@ -23,10 +23,27 @@ import jax
 import jax.numpy as jnp
 
 from vr_video_generator_tpu.ops.attention import mha
+from vr_video_generator_tpu.ops.layernorm import layernorm
 from vr_video_generator_tpu.ops.resize import resize_bicubic
 from vr_video_generator_tpu.utils.config import ModelConfig
 
 Dtype = Any
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm with f32 statistics and compute-dtype output, lowered to the
+    fused Pallas kernel on TPU (ops/layernorm.py). Param names match flax
+    LayerNorm ({scale, bias}) so converted checkpoints are layout-identical.
+    eps 1e-6 per the reference (dinov2.py:95)."""
+
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        scale = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        return layernorm(x, scale, bias, eps=1e-6, out_dtype=self.dtype)
 
 
 class Mlp(nn.Module):
@@ -114,13 +131,13 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
-        h = Attention(self.num_heads, dtype=self.dtype, name="attn")(h.astype(self.dtype))
+        h = LayerNorm(self.dim, dtype=self.dtype, name="norm1")(x)
+        h = Attention(self.num_heads, dtype=self.dtype, name="attn")(h)
         x = x + LayerScale(self.dim, dtype=self.dtype, name="ls1")(h)
-        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
+        h = LayerNorm(self.dim, dtype=self.dtype, name="norm2")(x)
         ffn_cls = SwiGLUFFN if self.ffn_layer == "swiglufused" else Mlp
         h = ffn_cls(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype,
-                    name="mlp")(h.astype(self.dtype))
+                    name="mlp")(h)
         return x + LayerScale(self.dim, dtype=self.dtype, name="ls2")(h)
 
 
@@ -194,14 +211,14 @@ class DinoVisionTransformer(nn.Module):
         x = x + pos.astype(self.dtype)
 
         take = set(take_layers)
-        final_norm = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")
+        final_norm = LayerNorm(cfg.embed_dim, dtype=self.dtype, name="norm")
         tapped = {}
         for i in range(cfg.depth):
             x = Block(cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio,
                       ffn_layer=cfg.ffn_layer, dtype=self.dtype,
                       name=f"block{i}")(x)
             if i in take:
-                out = final_norm(x).astype(self.dtype)
+                out = final_norm(x)
                 tapped[i] = (out[:, 1:], out[:, 0])
         # one tap per requested index, duplicates allowed (tiny test configs)
         return tuple(tapped[i] for i in take_layers)
