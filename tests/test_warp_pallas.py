@@ -69,3 +69,24 @@ def test_ragged_height(setup):
                                       block_rows=16, interpret=True)
     np.testing.assert_array_equal(np.asarray(comp), np.asarray(ref_comp))
     np.testing.assert_array_equal(np.asarray(cov), np.asarray(ref_cov))
+
+
+def test_warp_batch_pallas_matches_xla(rng):
+    """Fully fused batched path (compositor + blur/select kernels) vs the
+    vmapped XLA path, interpreter mode."""
+    import numpy as _np
+    from vr_video_generator_tpu.ops.temporal import TemporalState, temporal_scan
+
+    cfg = StereoConfig().normalized()
+    spec_x = WarpSpec.create(H, W, cfg, impl="xla")
+    spec_p = WarpSpec.create(H, W, cfg, impl="pallas")
+    rng = _np.random.default_rng(9)
+    imgs = _np.stack([synth_img(rng) for _ in range(3)])
+    depths = _np.stack([synth_depth(rng, tmax=5.0 + 2 * i) for i in range(3)])
+    state = TemporalState.initial(H, W)
+    blended, ranges, _ = temporal_scan(jnp.asarray(depths), state, spec_x)
+
+    ref = _np.asarray(spec_x.warp_batch(jnp.asarray(imgs), blended, ranges))
+    out = _np.asarray(spec_p.warp_batch(jnp.asarray(imgs), blended, ranges,
+                                        interpret=True))
+    _np.testing.assert_array_equal(out, ref)

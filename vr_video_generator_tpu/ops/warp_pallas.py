@@ -88,13 +88,13 @@ def _warp_kernel(lo_ref, hi_ref, valid_ref, fill_ref,  # SMEM scalars/tables
 
 @functools.partial(jax.jit, static_argnames=("s_neg", "s_pos", "block_rows",
                                              "interpret"))
-def warp_composite_pallas(img_u8: jnp.ndarray, depth: jnp.ndarray,
-                          st: ShiftTables, s_neg: int, s_pos: int,
-                          block_rows: int = 8,
-                          interpret: bool = False
-                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(H, W, 3) uint8 + (H, W) f32 depth -> (composite (H, W, 3) uint8,
-    covered (H, W) bool). Drop-in for ops/warp.warp_composite_static."""
+def warp_composite_pallas_packed(img_u8: jnp.ndarray, depth: jnp.ndarray,
+                                 st: ShiftTables, s_neg: int, s_pos: int,
+                                 block_rows: int = 8,
+                                 interpret: bool = False
+                                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Like warp_composite_pallas but returns (packed u32 (H, W), covered),
+    for fusion with the packed blur/select kernel."""
     h, w, _ = img_u8.shape
     img32 = img_u8.astype(jnp.uint32)
     packed = img32[..., 0] | (img32[..., 1] << 8) | (img32[..., 2] << 16)
@@ -128,11 +128,108 @@ def warp_composite_pallas(img_u8: jnp.ndarray, depth: jnp.ndarray,
         interpret=interpret,
     )(lo, hi, valid, jnp.broadcast_to(st.fill_offset, (1, 128)),
       depth, packed)
+    return out_packed, covered
 
-    composite = jnp.stack(
-        [out_packed & 0xFF, (out_packed >> 8) & 0xFF, (out_packed >> 16) & 0xFF],
+
+def _unpack_rgb(packed: jnp.ndarray) -> jnp.ndarray:
+    return jnp.stack(
+        [packed & 0xFF, (packed >> 8) & 0xFF, (packed >> 16) & 0xFF],
         axis=-1).astype(jnp.uint8)
-    return composite, covered
+
+
+def warp_composite_pallas(img_u8: jnp.ndarray, depth: jnp.ndarray,
+                          st: ShiftTables, s_neg: int, s_pos: int,
+                          block_rows: int = 8,
+                          interpret: bool = False
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(H, W, 3) uint8 + (H, W) f32 depth -> (composite (H, W, 3) uint8,
+    covered (H, W) bool). Drop-in for ops/warp.warp_composite_static."""
+    out_packed, covered = warp_composite_pallas_packed(
+        img_u8, depth, st, s_neg, s_pos, block_rows=block_rows,
+        interpret=interpret)
+    return _unpack_rgb(out_packed), covered
+
+
+def _blur_select_kernel(cov_ref, comp_hbm, out_ref, scratch, sem,
+                        *, kxw, kyw, bh: int, w: int, px: int, py: int):
+    """Separable Gaussian blur + hole-select over one (bh, w) row block.
+
+    ``comp_hbm`` is the reflect-padded packed composite
+    (B, nblocks*bh + 2*py, w + 2*px) living in HBM/ANY; each program DMAs its
+    (bh + 2*py)-row window (vertical halo) and blurs with static-slice
+    multiply-adds — no wraparound anywhere, reflect handled by the XLA pad.
+    """
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    copy = pltpu.make_async_copy(
+        comp_hbm.at[b, pl.ds(i * bh, bh + 2 * py), :], scratch, sem)
+    copy.start()
+    copy.wait()
+    window = scratch[:, :]
+
+    chans_blurred = []
+    for shiftbits in (0, 8, 16):
+        # Mosaic has no uint32<->float32 cast; the masked byte fits int32.
+        ch = ((window >> shiftbits) & 0xFF).astype(jnp.int32).astype(jnp.float32)
+        hb = jnp.zeros((bh + 2 * py, w), jnp.float32)
+        for t in range(len(kxw)):
+            hb = hb + float(kxw[t]) * ch[:, t:t + w]
+        vb = jnp.zeros((bh, w), jnp.float32)
+        for t in range(len(kyw)):
+            vb = vb + float(kyw[t]) * hb[t:t + bh, :]
+        chans_blurred.append(
+            jnp.clip(jnp.round(vb), 0, 255).astype(jnp.int32).astype(jnp.uint32))
+
+    blurred = (chans_blurred[0] | (chans_blurred[1] << 8)
+               | (chans_blurred[2] << 16))
+    center = window[py:py + bh, px:px + w] & jnp.uint32(0x00FFFFFF)
+    covered = cov_ref[0, :, :]
+    out_ref[0, :, :] = jnp.where(covered, center, blurred)
+
+
+def blur_select_pallas(composite_packed: jnp.ndarray, covered: jnp.ndarray,
+                       kernel_size: int, sigma: float, block_rows: int = 16,
+                       interpret: bool = False) -> jnp.ndarray:
+    """(B, H, W) packed u32 composite + covered -> hole-smoothed packed u32.
+
+    Fuses reference PredictAndGenerate.py:184-195: Gaussian blur of the
+    hole-filled composite (torchvision kernel/reflect/round semantics via
+    ops/gaussian.gaussian_kernel1d) sampled at uncovered pixels.
+    """
+    from vr_video_generator_tpu.ops.gaussian import gaussian_kernel1d
+
+    bsz, h, w = composite_packed.shape
+    kx, ky = kernel_size * 2 + 3, kernel_size * 2 + 1
+    kxw, kyw = gaussian_kernel1d(kx, sigma), gaussian_kernel1d(ky, sigma)
+    px, py = kx // 2, ky // 2
+
+    nblocks = pl.cdiv(h, block_rows)
+    pad_h = nblocks * block_rows - h
+    # DMA slices must be lane-aligned: pad the width to a multiple of 128
+    # (the extra columns are dead — the blur only reads the first w+2*px).
+    w_pad = (-(w + 2 * px)) % 128
+    comp_pad = jnp.pad(composite_packed, ((0, 0), (py, py + pad_h), (px, px + w_pad)),
+                       mode="reflect")
+
+    kernel = functools.partial(_blur_select_kernel, kxw=tuple(kxw),
+                               kyw=tuple(kyw), bh=block_rows, w=w, px=px,
+                               py=py)
+    out = pl.pallas_call(
+        kernel,
+        grid=(bsz, nblocks),
+        in_specs=[pl.BlockSpec((1, block_rows, w), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((1, block_rows, w), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, nblocks * block_rows, w),
+                                       jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((block_rows + 2 * py, w + 2 * px + w_pad),
+                                   jnp.uint32),
+                        pltpu.SemaphoreType.DMA(())],
+        interpret=interpret,
+    )(covered, comp_pad)
+    return out[:, :h, :]
 
 
 def warp_frame_pallas(img_u8: jnp.ndarray, depth: jnp.ndarray,
@@ -154,3 +251,40 @@ def warp_frame_pallas(img_u8: jnp.ndarray, depth: jnp.ndarray,
     cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     result = jnp.where((cols < tables.edge_width)[..., None], img_u8, result)
     return jnp.concatenate([result, img_u8], axis=1)
+
+
+def warp_batch_pallas(imgs_u8: jnp.ndarray, depths: jnp.ndarray,
+                      offset_ranges: jnp.ndarray, cfg, height: int,
+                      max_planes: int, kernel_size: int, sigma: float,
+                      s_neg: int, s_pos: int,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Fully fused batched warp: compositor kernel + blur/select kernel.
+
+    (B, H, W, 3) uint8 + (B, H, W) depth + (B, 2) smoothed ranges
+    -> (B, H, 2W, 3) SBS. The blur kernel owns the batch grid itself
+    (manual-DMA kernels don't compose with vmap), so this is the batched
+    entry the pipeline calls instead of vmapping warp_frame.
+    """
+    from vr_video_generator_tpu.ops.warp import build_plane_tables
+
+    b, h, w, _ = imgs_u8.shape
+
+    def tables_fn(depth, rng_pair):
+        t = build_plane_tables(depth, rng_pair, cfg, height, max_planes)
+        return t, build_shift_tables(t, s_neg, s_pos)
+
+    tables, st = jax.vmap(tables_fn)(depths, offset_ranges)
+
+    comp_packed, covered = jax.vmap(
+        lambda im, d, s: warp_composite_pallas_packed(
+            im, d, s, s_neg, s_pos, interpret=interpret)
+    )(imgs_u8, depths, st)
+
+    final_packed = blur_select_pallas(comp_packed, covered, kernel_size,
+                                      sigma, interpret=interpret)
+    result = _unpack_rgb(final_packed)
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 2)
+    edge = cols < tables.edge_width[:, None, None]
+    result = jnp.where(edge[..., None], imgs_u8, result)
+    return jnp.concatenate([result, imgs_u8], axis=2)

@@ -92,6 +92,9 @@ class ShardedSbsPipeline:
             out_specs=(P("data"), P("data"), _state_specs()),
         )(depth.reshape(d, b, h, w), states)
 
+        # NOTE: under a mesh the batched-pallas blur kernel's manual-DMA grid
+        # does not partition; keep the vmapped per-frame path (XLA partitions
+        # the batch axis), with pallas compositing inside each frame.
         sbs = jax.vmap(self.spec.warp)(
             frames_u8, blended.reshape(n, h, w), ranges.reshape(n, 2))
         return sbs, states

@@ -63,7 +63,7 @@ class SbsPipeline:
         depth = infer_depth(self.model, params, frames_u8,
                             input_size=self.run_cfg.input_size)
         blended, ranges, state = temporal_scan(depth, state, self.spec)
-        sbs = jax.vmap(self.spec.warp)(frames_u8, blended, ranges)
+        sbs = self.spec.warp_batch(frames_u8, blended, ranges)
         return sbs, state
 
     def step(self, frames_u8, state: TemporalState) -> Tuple[jnp.ndarray, TemporalState]:
