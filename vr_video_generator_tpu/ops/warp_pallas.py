@@ -90,7 +90,7 @@ def _warp_kernel(lo_ref, hi_ref, valid_ref, fill_ref,  # SMEM scalars/tables
                                              "interpret"))
 def warp_composite_pallas_packed(img_u8: jnp.ndarray, depth: jnp.ndarray,
                                  st: ShiftTables, s_neg: int, s_pos: int,
-                                 block_rows: int = 8,
+                                 block_rows: int = 32,
                                  interpret: bool = False
                                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Like warp_composite_pallas but returns (packed u32 (H, W), covered),
@@ -139,7 +139,7 @@ def _unpack_rgb(packed: jnp.ndarray) -> jnp.ndarray:
 
 def warp_composite_pallas(img_u8: jnp.ndarray, depth: jnp.ndarray,
                           st: ShiftTables, s_neg: int, s_pos: int,
-                          block_rows: int = 8,
+                          block_rows: int = 32,
                           interpret: bool = False
                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(H, W, 3) uint8 + (H, W) f32 depth -> (composite (H, W, 3) uint8,
@@ -188,7 +188,7 @@ def _blur_select_kernel(cov_ref, comp_hbm, out_ref, scratch, sem,
 
 
 def blur_select_pallas(composite_packed: jnp.ndarray, covered: jnp.ndarray,
-                       kernel_size: int, sigma: float, block_rows: int = 16,
+                       kernel_size: int, sigma: float, block_rows: int = 32,
                        interpret: bool = False) -> jnp.ndarray:
     """(B, H, W) packed u32 composite + covered -> hole-smoothed packed u32.
 
