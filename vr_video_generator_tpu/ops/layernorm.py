@@ -37,8 +37,6 @@ def _layernorm_ref(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
     return y.astype(out_dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "out_dtype", "block_rows",
-                                             "interpret"))
 def layernorm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
               eps: float = 1e-6, out_dtype=None, block_rows: int = 512,
               interpret: bool = False) -> jnp.ndarray:

@@ -86,8 +86,6 @@ def _warp_kernel(lo_ref, hi_ref, valid_ref, fill_ref,  # SMEM scalars/tables
     pl.run_scoped(body, pltpu.VMEM(depth.shape, jnp.uint32))
 
 
-@functools.partial(jax.jit, static_argnames=("s_neg", "s_pos", "block_rows",
-                                             "interpret"))
 def warp_composite_pallas_packed(img_u8: jnp.ndarray, depth: jnp.ndarray,
                                  st: ShiftTables, s_neg: int, s_pos: int,
                                  block_rows: int = 32,
@@ -219,7 +217,9 @@ def blur_select_pallas(composite_packed: jnp.ndarray, covered: jnp.ndarray,
         grid=(bsz, nblocks),
         in_specs=[pl.BlockSpec((1, block_rows, w), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
+                  # pinned to HBM: with ANY the compiler may try to stage the
+                  # whole padded composite in VMEM (blows up at 4K widths)
+                  pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec((1, block_rows, w), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, nblocks * block_rows, w),
@@ -253,6 +253,12 @@ def warp_frame_pallas(img_u8: jnp.ndarray, depth: jnp.ndarray,
     return jnp.concatenate([result, img_u8], axis=1)
 
 
+def adaptive_block_rows(width: int) -> int:
+    """Keep per-block VMEM footprint roughly constant as width grows (4K
+    blocks at 32 rows blow the kernel stack)."""
+    return max(8, int(32 * 1920 / width) // 8 * 8)
+
+
 def warp_batch_pallas(imgs_u8: jnp.ndarray, depths: jnp.ndarray,
                       offset_ranges: jnp.ndarray, cfg, height: int,
                       max_planes: int, kernel_size: int, sigma: float,
@@ -275,13 +281,15 @@ def warp_batch_pallas(imgs_u8: jnp.ndarray, depths: jnp.ndarray,
 
     tables, st = jax.vmap(tables_fn)(depths, offset_ranges)
 
+    rows = adaptive_block_rows(w)
     comp_packed, covered = jax.vmap(
         lambda im, d, s: warp_composite_pallas_packed(
-            im, d, s, s_neg, s_pos, interpret=interpret)
+            im, d, s, s_neg, s_pos, block_rows=rows, interpret=interpret)
     )(imgs_u8, depths, st)
 
     final_packed = blur_select_pallas(comp_packed, covered, kernel_size,
-                                      sigma, interpret=interpret)
+                                      sigma, block_rows=rows,
+                                      interpret=interpret)
     result = _unpack_rgb(final_packed)
 
     cols = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 2)
