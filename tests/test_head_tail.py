@@ -1,0 +1,92 @@
+"""Interpreter-mode parity of the fused DPT head-tail kernel vs the XLA tail."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vr_video_generator_tpu.ops.head_tail_pallas import head_tail_pallas
+from vr_video_generator_tpu.ops.resize import resize_bilinear
+
+
+def xla_tail(path1, k1, b1, k2, b2, k3, b3, out_hw):
+    """Mirror of models/dpt.py lines 141-151 (the fused region)."""
+    dn = ("NHWC", "HWIO", "NHWC")
+    y = jax.lax.conv_general_dilated(path1, k1, (1, 1), [(1, 1), (1, 1)],
+                                     dimension_numbers=dn) + b1
+    y = resize_bilinear(y, out_hw, align_corners=True, dtype=path1.dtype,
+                        precision=jax.lax.Precision.DEFAULT)
+    y = jax.lax.conv_general_dilated(y, k2, (1, 1), [(1, 1), (1, 1)],
+                                     dimension_numbers=dn) + b2
+    y = jax.nn.relu(y)
+    y = jax.lax.conv_general_dilated(y, k3, (1, 1), [(0, 0), (0, 0)],
+                                     dimension_numbers=dn) + b3
+    return jax.nn.relu(y[..., 0]).astype(jnp.float32)
+
+
+def _make_case(rng, b, h2, w2, c, c2, c3, patch=14, dtype=jnp.float32):
+    h1, w1 = h2 * patch // 8, w2 * patch // 8
+    path1 = jnp.asarray(rng.standard_normal((b, h2, w2, c)), dtype)
+    k1 = jnp.asarray(rng.standard_normal((3, 3, c, c2)) * 0.1, dtype)
+    b1 = jnp.asarray(rng.standard_normal((c2,)) * 0.1, dtype)
+    k2 = jnp.asarray(rng.standard_normal((3, 3, c2, c3)) * 0.1, dtype)
+    b2 = jnp.asarray(rng.standard_normal((c3,)) * 0.1, dtype)
+    k3 = jnp.asarray(rng.standard_normal((1, 1, c3, 1)) * 0.1, dtype)
+    b3 = jnp.asarray(rng.standard_normal((1,)) * 0.1, dtype)
+    return (path1, k1, b1, k2, b2, k3, b3, (h1, w1))
+
+
+@pytest.mark.parametrize("h2,w2,c,c2,c3", [
+    (72, 128, 64, 32, 32),    # vits geometry (126x224 net input)
+    (40, 64, 32, 16, 8),      # tiny, C2 != C3
+])
+def test_head_tail_parity(h2, w2, c, c2, c3):
+    rng = np.random.default_rng(3)
+    args = _make_case(rng, 2, h2, w2, c, c2, c3)
+    want = xla_tail(*args)
+    got = head_tail_pallas(*args, interpret=True)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=2e-4)
+
+
+def test_head_tail_block_not_dividing():
+    """H1 not a multiple of block_rows exercises the tail-block masking."""
+    rng = np.random.default_rng(5)
+    args = _make_case(rng, 1, 36, 48, 16, 16, 8)
+    want = xla_tail(*args)
+    got = head_tail_pallas(*args, block_rows=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=2e-4)
+
+
+def xla_tail_ext(x, k_oc, b_oc, k1, b1, k2, b2, k3, b3, out_hw):
+    """Mirror of refinenet1 upsample + out_conv + tail (the ext fused region)."""
+    dn = ("NHWC", "HWIO", "NHWC")
+    y = resize_bilinear(x, (x.shape[1] * 2, x.shape[2] * 2),
+                        align_corners=True, dtype=x.dtype,
+                        precision=jax.lax.Precision.DEFAULT)
+    y = jax.lax.conv_general_dilated(y, k_oc, (1, 1), [(0, 0), (0, 0)],
+                                     dimension_numbers=dn) + b_oc
+    return xla_tail(y, k1, b1, k2, b2, k3, b3, out_hw)
+
+
+@pytest.mark.parametrize("h0,w0,c,c2,c3", [
+    (36, 64, 64, 32, 32),     # vits geometry at 126x224 net input
+    (20, 32, 32, 16, 8),
+])
+def test_head_tail_ext_parity(h0, w0, c, c2, c3):
+    from vr_video_generator_tpu.ops.head_tail_pallas import head_tail_ext_pallas
+
+    rng = np.random.default_rng(11)
+    h1, w1 = h0 * 2 * 14 // 8, w0 * 2 * 14 // 8
+    x = jnp.asarray(rng.standard_normal((2, h0, w0, c)), jnp.float32)
+    k_oc = jnp.asarray(rng.standard_normal((1, 1, c, c)) * 0.1, jnp.float32)
+    b_oc = jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)
+    (_, k1, b1, k2, b2, k3, b3, _) = _make_case(rng, 1, 8, 8, c, c2, c3)
+    want = xla_tail_ext(x, k_oc, b_oc, k1, b1, k2, b2, k3, b3, (h1, w1))
+    got = head_tail_ext_pallas(x, k_oc, b_oc, k1, b1, k2, b2, k3, b3,
+                               (h1, w1), interpret=True)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=5e-4)

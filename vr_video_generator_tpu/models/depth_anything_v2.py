@@ -28,6 +28,7 @@ class DepthAnythingV2(nn.Module):
 
     cfg: ModelConfig
     dtype: Dtype = jnp.float32
+    tail: str = "auto"  # DPT head tail impl: auto | fused | xla
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -36,7 +37,8 @@ class DepthAnythingV2(nn.Module):
         taps = DinoVisionTransformer(self.cfg, dtype=self.dtype,
                                      name="pretrained")(
             x, self.cfg.intermediate_layers)
-        depth = DPTHead(self.cfg, dtype=self.dtype, name="depth_head")(taps, ph, pw)
+        depth = DPTHead(self.cfg, dtype=self.dtype, tail=self.tail,
+                        name="depth_head")(taps, ph, pw)
         return nn.relu(depth)
 
 

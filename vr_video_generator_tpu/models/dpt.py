@@ -19,6 +19,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from vr_video_generator_tpu.ops.head_tail_pallas import (ext_pick_block_rows,
+                                                         head_tail_ext_pallas)
 from vr_video_generator_tpu.ops.resize import resize_bilinear
 from vr_video_generator_tpu.utils.config import ModelConfig
 
@@ -53,6 +55,25 @@ class PixelShuffleUpsample(nn.Module):
         return y + bias.astype(self.dtype)
 
 
+class _ConvParams(nn.Module):
+    """Declares nn.Conv-shaped params (kernel HWIO + bias) without the
+    conv — the fused Pallas tail consumes them directly while keeping the
+    checkpoint tree identical to the XLA path."""
+
+    features: int
+    in_features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (*self.kernel_size, self.in_features, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
 class ResidualConvUnit(nn.Module):
     """relu-conv-relu-conv + skip — reference util/blocks.py:29-80 (no BN)."""
 
@@ -83,11 +104,18 @@ class FeatureFusionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, skip: jnp.ndarray | None = None,
-                 out_hw: Tuple[int, int] | None = None) -> jnp.ndarray:
+                 out_hw: Tuple[int, int] | None = None,
+                 return_pre_upsample: bool = False):
         if skip is not None:
             x = x + ResidualConvUnit(self.features, dtype=self.dtype,
                                      name="rcu1")(skip)
         x = ResidualConvUnit(self.features, dtype=self.dtype, name="rcu2")(x)
+        if return_pre_upsample:
+            # fused-tail path: hand back the pre-upsample activation plus
+            # out_conv's params (same tree as the nn.Conv below).
+            k, b = _ConvParams(self.features, self.features, (1, 1),
+                               name="out_conv")()
+            return x, k, b
         if out_hw is None:
             out_hw = (x.shape[-3] * 2, x.shape[-2] * 2)
         # compute-dtype resize: the reference runs these under fp16 autocast
@@ -99,10 +127,19 @@ class FeatureFusionBlock(nn.Module):
 
 class DPTHead(nn.Module):
     """Reference dpt.py:38-150 (use_clstoken=False path, as the reference
-    always constructs it — dpt.py:176)."""
+    always constructs it — dpt.py:176).
+
+    ``tail``: "xla" keeps the pure-XLA tail; "fused" runs refinenet1's
+    upsample + out_conv + output convs in one Pallas kernel
+    (ops/head_tail_pallas) when the geometry fits VMEM — the XLA tail's
+    32/64-channel intermediates all pad to 128 lanes and make it
+    bandwidth-bound; "auto" fuses on TPU backends only. Both paths create
+    the identical parameter tree.
+    """
 
     cfg: ModelConfig
     dtype: Dtype = jnp.float32
+    tail: str = "auto"
 
     @nn.compact
     def __call__(self, taps: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],
@@ -135,12 +172,30 @@ class DPTHead(nn.Module):
             path4, rn[2], out_hw=rn[1].shape[1:3])
         path2 = FeatureFusionBlock(feats, dtype=self.dtype, name="refinenet2")(
             path3, rn[1], out_hw=rn[0].shape[1:3])
+
+        out_hw = (ph * cfg.patch_size, pw * cfg.patch_size)
+        pre_shape = (out[0].shape[0], rn[0].shape[1], rn[0].shape[2], feats)
+        fuse = self.tail == "fused" or (
+            self.tail == "auto" and jax.default_backend() == "tpu")
+        if fuse and ext_pick_block_rows(pre_shape, feats // 2, self.dtype,
+                                        out_hw) is None:
+            fuse = False  # e.g. vitl: 256-channel rows blow the VMEM plan
+
+        if fuse:
+            pre, oc_k, oc_b = FeatureFusionBlock(
+                feats, dtype=self.dtype, name="refinenet1")(
+                path2, rn[0], return_pre_upsample=True)
+            k1, b1 = _ConvParams(feats // 2, feats, name="output_conv1")()
+            k2, b2 = _ConvParams(32, feats // 2, name="output_conv2_0")()
+            k3, b3 = _ConvParams(1, 32, (1, 1), name="output_conv2_2")()
+            return head_tail_ext_pallas(pre.astype(self.dtype), oc_k, oc_b,
+                                        k1, b1, k2, b2, k3, b3, out_hw)
+
         path1 = FeatureFusionBlock(feats, dtype=self.dtype, name="refinenet1")(
             path2, rn[0])
-
         x = nn.Conv(feats // 2, (3, 3), padding=1, dtype=self.dtype,
                     name="output_conv1")(path1)
-        x = resize_bilinear(x, (ph * cfg.patch_size, pw * cfg.patch_size),
+        x = resize_bilinear(x, out_hw,
                             align_corners=True, dtype=self.dtype,
                             precision=jax.lax.Precision.DEFAULT)
         x = nn.Conv(32, (3, 3), padding=1, dtype=self.dtype,

@@ -1,0 +1,426 @@
+"""Fused Pallas kernel for the DPT head tail (reference dpt.py:146-150).
+
+The tail — output_conv1 (3x3), bilinear x1.75 upsample (align_corners=True),
+output_conv2_0 (3x3) + ReLU, output_conv2_2 (1x1) + ReLU — is the head's
+bandwidth sink on TPU: every intermediate is a (B, H, W, 32/64)-channel bf16
+tensor whose minor dim pads to 128 lanes, so the XLA version moves ~4x the
+logical bytes through HBM per op (measured 1.86 ms/frame of the head's 2.58
+at 1080p/vits). This kernel reads ``path1`` once, keeps every intermediate in
+VMEM, and writes only the (B, H1, W1) f32 depth rows.
+
+Layout: channel-major. All row tiles live as (C sublanes, W lanes), so
+  * a 3x3 conv is, per width-tap dw, ONE banded GEMM per 4-row group:
+    lhs (4*Cout, 6*Cin) holds K[dh, dw].T blocks on the (row, row+dh) band,
+    rhs is 6 consecutive input rows flattened to (6*Cin, W) — full MXU
+    lanes, no per-row loops over dh;
+  * the width-tap shift is applied to the f32 GEMM *output* (lane slices of
+    32-bit data, same trick as ops/warp_pallas blur) — Mosaic has no cheap
+    bf16 lane shift;
+  * the W-resize is (4*C2, W2) x (W2, W1) — a full (128, K, N) GEMM;
+  * the H-resize uses exact integer tap math (r*(H2-1) // (H1-1)), bit-equal
+    to the host f64 weight builder in ops/resize.py;
+  * the 1x1 conv + ReLU is a lane-broadcast multiply + sublane reduction.
+
+Accumulation is f32 (the MXU accumulates XLA's bf16 dots in f32 too), row
+scratches are stored in the input dtype, so parity with the XLA tail is
+within bf16 rounding. tests/test_head_tail.py checks interpreter-mode parity.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vr_video_generator_tpu.ops.resize import linear_weights
+
+__all__ = ["head_tail_pallas", "head_tail_ext_pallas"]
+
+
+def _pad4(n: int) -> int:
+    return -(-n // 4) * 4
+
+
+def _lerp_taps(r, n_in: int, n_out: int, base, acc_t=jnp.float32):
+    """Exact integer bilinear taps of align_corners resize n_in -> n_out.
+
+    Returns (i0, i1, t): scratch-local tap rows (offset ``base``) and the
+    fractional weight — bit-equal to ops/resize.linear_weights' host f64
+    floor because num/(n_out-1) is an exact integer ratio.
+    """
+    num = r * (n_in - 1)
+    h0 = num // (n_out - 1)
+    t = (num - h0 * (n_out - 1)).astype(acc_t) / np.float32(n_out - 1)
+    i0 = h0 - base
+    i1 = jnp.minimum(h0 + 1, n_in - 1) - base
+    return i0, i1, t
+
+
+def _banded_conv_mats(k: jnp.ndarray, groups: int = 4) -> jnp.ndarray:
+    """(3, 3, Cin, Cout) HWIO kernel -> (3, groups*Cout, (groups+2)*Cin).
+
+    Per width-tap dw, a block-banded lhs so that
+    out rows [g, g+groups) = lhs @ (input rows [g-1, g+groups+1) flattened):
+    block (g, g+dh) holds K[dh, dw].T.
+    """
+    kh, kw, cin, cout = k.shape
+    mats = []
+    for dw in range(kw):
+        m = jnp.zeros((groups * cout, (groups + 2) * cin), k.dtype)
+        for g in range(groups):
+            for dh in range(kh):
+                m = m.at[g * cout:(g + 1) * cout,
+                         (g + dh) * cin:(g + dh + 1) * cin].set(k[dh, dw].T)
+        mats.append(m)
+    return jnp.stack(mats)
+
+
+def _tail_kernel(b3_ref,                       # SMEM (1, 1)
+                 x_hbm,                        # ANY (B, H2+2, C, W2P)
+                 bm1_ref, bm2_ref, wt_ref,     # VMEM banded mats + resize mat
+                 b1_ref, b2_ref, w3_ref,       # VMEM (4*C?, 1) column tiles
+                 out_ref,                      # VMEM block (1, R, W1)
+                 x_s, c1_s, rzw_s, rz_s, sem,
+                 *, C: int, C2: int, C3: int, H1: int, H2: int,
+                 W1: int, W2: int, W2P: int, R: int, A: int):
+    r0 = pl.program_id(1) * R
+    acc_t = jnp.float32
+
+    # conv1-out rows [a0, a0+A) cover every bilinear tap of resized rows
+    # [r0-1, r0+R]; clamp so the DMA window [a0, a0+A+2) stays inside the
+    # H-padded input.
+    r_first = jnp.maximum(r0 - 1, 0)
+    h0f = (r_first * (H2 - 1)) // (H1 - 1)
+    a0 = jnp.minimum(h0f, H2 - A)
+
+    cp = pltpu.make_async_copy(
+        x_hbm.at[pl.program_id(0), pl.ds(a0, A + 2)], x_s, sem)
+    cp.start()
+    cp.wait()
+
+    # --- output_conv1: (A, C, W2P) -> c1_s (A, C2, W2), banded 4-row GEMMs.
+    for g in range(A // 4):
+        xg = x_s[4 * g:4 * g + 6].reshape(6 * C, W2P)
+        acc = jnp.zeros((4 * C2, W2), acc_t)
+        for dw in range(3):
+            y = jnp.dot(bm1_ref[dw], xg, preferred_element_type=acc_t)
+            acc = acc + y[:, dw:dw + W2]
+        acc = acc + b1_ref[:, :]
+        c1_s[4 * g:4 * g + 4] = acc.reshape(4, C2, W2).astype(c1_s.dtype)
+
+    # --- W-resize: (4*C2, W2) x (W2, W1) full-lane GEMMs.
+    for g in range(A // 4):
+        cg = c1_s[4 * g:4 * g + 4].reshape(4 * C2, W2)
+        y = jnp.dot(cg, wt_ref[:, :], preferred_element_type=acc_t)
+        rzw_s[4 * g:4 * g + 4] = y.reshape(4, C2, W1).astype(rzw_s.dtype)
+
+    # --- H-resize (exact integer taps) into the W-halo'd conv2 input.
+    rz_s[:, :, :] = jnp.zeros(rz_s.shape, rz_s.dtype)
+    for j in range(R + 2):
+        r = r0 - 1 + j
+        valid = (r >= 0) & (r < H1)
+        rc = jnp.clip(r, 0, H1 - 1)
+        i0, i1, t = _lerp_taps(rc, H2, H1, a0)
+        row0 = rzw_s[pl.ds(i0, 1)][0].astype(acc_t)
+        row1 = rzw_s[pl.ds(i1, 1)][0].astype(acc_t)
+        v = (1.0 - t) * row0 + t * row1
+        v = v * valid.astype(acc_t)
+        rz_s[j, :, 1:1 + W1] = v.astype(rz_s.dtype)
+
+    # --- output_conv2_0 + ReLU + output_conv2_2 (1x1) + ReLU.
+    b3 = b3_ref[0, 0]
+    for g in range(R // 4):
+        rg = rz_s[4 * g:4 * g + 6].reshape(6 * C2, W1 + 2)
+        acc = jnp.zeros((4 * C3, W1), acc_t)
+        for dw in range(3):
+            y = jnp.dot(bm2_ref[dw], rg, preferred_element_type=acc_t)
+            acc = acc + y[:, dw:dw + W1]
+        y = jnp.maximum(acc + b2_ref[:, :], 0.0)
+        yw = (y * w3_ref[:, :]).reshape(4, C3, W1)
+        res = jnp.sum(yw, axis=1) + b3
+        out_ref[0, 4 * g:4 * g + 4, :] = jnp.maximum(res, 0.0)
+
+
+def head_tail_pallas(path1: jnp.ndarray,
+                     k1: jnp.ndarray, b1: jnp.ndarray,
+                     k2: jnp.ndarray, b2: jnp.ndarray,
+                     k3: jnp.ndarray, b3: jnp.ndarray,
+                     out_hw: tuple[int, int],
+                     block_rows: int = 32,
+                     interpret: bool = False) -> jnp.ndarray:
+    """path1 (B, H2, W2, C) -> depth rows (B, H1, W1) f32.
+
+    k1 (3,3,C,C2)+b1: output_conv1; k2 (3,3,C2,C3)+b2: output_conv2_0;
+    k3 (1,1,C3,1)+b3: output_conv2_2 (reference dpt.py:146-150 minus the
+    final ReLU'd squeeze, which is included here).
+    """
+    b, h2, w2, c = path1.shape
+    h1, w1 = out_hw
+    c2 = k1.shape[-1]
+    c3 = k2.shape[-1]
+    r = block_rows
+    assert r % 4 == 0 and c2 % 8 == 0 and c3 % 8 == 0
+
+    # conv1-out rows needed per block: the taps of R+2 resized rows span
+    # (R+1)*(H2-1)/(H1-1) + 2 rows; +1 slack, rounded to the 4-row group.
+    span = int(np.ceil((r + 1) * (h2 - 1) / (h1 - 1))) + 3
+    a = min(-(-span // 4) * 4, h2 - (-h2) % 4)
+    if a < span:
+        raise ValueError(f"input rows {h2} too few for block_rows {r}")
+
+    # H/W halo pad (zero — nn.Conv padding=1 semantics), channel-major
+    # transpose, lane-align the DMA'd minor dim.
+    x = jnp.pad(path1, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    x = jnp.transpose(x, (0, 1, 3, 2))
+    w2p_raw = w2 + 2
+    w2p = w2p_raw + (-w2p_raw) % 128
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, w2p - w2p_raw)))
+
+    dt = path1.dtype
+    wt = jnp.asarray(linear_weights(w2, w1, align_corners=True).T, dt)
+    bm1 = _banded_conv_mats(k1.astype(dt))
+    bm2 = _banded_conv_mats(k2.astype(dt))
+    b1t = jnp.tile(b1.astype(jnp.float32), 4)[:, None]
+    b2t = jnp.tile(b2.astype(jnp.float32), 4)[:, None]
+    w3t = jnp.tile(k3[0, 0, :, 0].astype(jnp.float32), 4)[:, None]
+    b3s = jnp.reshape(b3.astype(jnp.float32), (1, 1))
+
+    nblocks = pl.cdiv(h1, r)
+    kernel = functools.partial(
+        _tail_kernel, C=c, C2=c2, C3=c3, H1=h1, H2=h2, W1=w1, W2=w2,
+        W2P=w2p, R=r, A=a)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, nblocks),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+                 + [pl.BlockSpec(memory_space=pltpu.HBM)]
+                 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=pl.BlockSpec((1, r, w1), lambda bi, i: (bi, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, nblocks * r, w1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((a + 2, c, w2p), dt),
+                        pltpu.VMEM((a, c2, w2), dt),
+                        pltpu.VMEM((a, c2, w1), dt),
+                        pltpu.VMEM((r + 2, c2, w1 + 2), dt),
+                        pltpu.SemaphoreType.DMA(())],
+        interpret=interpret,
+    )(b3s, x, bm1, bm2, wt, b1t, b2t, w3t)
+    return out[:, :h1, :]
+
+
+def _ext_plan(r, h0, hm, h1, w0, w2, w1, c, c2, dtype):
+    """Row-window sizes (a0, a1) and padded scratch-byte estimate for one
+    ext-kernel block, or None if the input is too small for this block."""
+    span1 = int(np.ceil((r + 1) * (hm - 1) / (h1 - 1))) + 3
+    a1 = min(_pad4(span1), hm - hm % 4)
+    span0 = int(np.ceil((a1 + 1) * (h0 - 1) / (hm - 1))) + 3
+    a0 = min(_pad4(span0), h0 - h0 % 4)
+    if a1 < span1 or a0 < span0:
+        return None
+    lane = lambda n: n + (-n) % 128
+    isz = jnp.dtype(dtype).itemsize
+    est = isz * (a0 * c * lane(w0 + (-w0) % 128) + a0 * c * lane(w2)
+                 + (a1 + 2) * c * lane(w2 + 2) + a1 * c2 * lane(w2)
+                 + a1 * c2 * lane(w1) + (r + 2) * c2 * lane(w1 + 2))
+    est += 2 * 4 * r * lane(w1)  # double-buffered f32 out block
+    return (a0, a1, est)
+
+
+def ext_pick_block_rows(x_shape, c2: int, dtype, out_hw) -> int | None:
+    """Largest block_rows whose scratch estimate leaves the unrolled GEMM
+    stack + weight mats headroom under the 16M VMEM limit, else None (the
+    caller should fall back to the XLA tail — e.g. vitl's C=256 rows)."""
+    _, h0, w0, c = x_shape
+    h1, w1 = out_hw
+    for cand in (32, 24, 16, 8):
+        p = _ext_plan(cand, h0, h0 * 2, h1, w0, w0 * 2, w1, c, c2, dtype)
+        if p and p[2] <= 10.5 * 2 ** 20:
+            return cand
+    return None
+
+
+def _tail_ext_kernel(b3_ref,                     # SMEM (1, 1)
+                     x_hbm,                      # HBM (B, H0, C, W0P)
+                     ocm_ref, boc_ref,           # out_conv channel mix + bias
+                     wta_ref, bm1_ref, wtb_ref, bm2_ref,
+                     b1_ref, b2_ref, w3_ref,
+                     out_ref,                    # VMEM block (1, R, W1)
+                     x_s, rw_s, rz2_s, c1_s, rzw_s, rz_s, sem,
+                     *, C: int, C2: int, C3: int,
+                     H0: int, W0P: int, HM: int, H1: int,
+                     W2: int, W1: int, R: int, A0: int, A1: int):
+    """Extended tail: x2 bilinear (H0,W0 -> HM,W2) + [out_conv folded into]
+    conv1 + bilinear (HM,W2 -> H1,W1) + conv2 + ReLU + 1x1 + ReLU."""
+    r0 = pl.program_id(1) * R
+    acc_t = jnp.float32
+
+    # conv1-out (HM-space) rows [a1, a1+A1) cover the taps of final rows
+    # [r0-1, r0+R]; 148-space rows [b0, b0+A0) cover the taps of HM-space
+    # rows [a1-1, a1+A1].
+    h0f = (jnp.maximum(r0 - 1, 0) * (HM - 1)) // (H1 - 1)
+    a1 = jnp.minimum(h0f, HM - A1)
+    b0f = (jnp.maximum(a1 - 1, 0) * (H0 - 1)) // (HM - 1)
+    b0 = jnp.minimum(b0f, H0 - A0)
+
+    cp = pltpu.make_async_copy(
+        x_hbm.at[pl.program_id(0), pl.ds(b0, A0)], x_s, sem)
+    cp.start()
+    cp.wait()
+
+    # Every stage loop is python-unrolled: lax.fori_loop costs ~0.2 ms/frame
+    # of scalar-loop overhead at 1080p, and with 4-row groups the unrolled
+    # stack stays inside the 16M scoped-vmem limit (the wrapper sizes
+    # block_rows so scratch + stack fit).
+
+    # --- out_conv channel mix (block-diag 1x1, exact commute with the
+    # resizes) + W-resize A (W0 -> W2) on every fetched 148-space row. The
+    # resize matrix is zero-row-extended to the lane-padded W0P so no lane
+    # slicing of the bf16 input is needed.
+    for g in range(A0 // 4):
+        xg = x_s[4 * g:4 * g + 4].reshape(4 * C, W0P)
+        xg = jnp.dot(ocm_ref[:, :], xg,
+                     preferred_element_type=acc_t).astype(rw_s.dtype)
+        y = jnp.dot(xg, wta_ref[:, :], preferred_element_type=acc_t)
+        rw_s[4 * g:4 * g + 4] = y.reshape(4, C, W2).astype(rw_s.dtype)
+
+    # --- H-resize A + out_conv bias into the W-halo'd conv1 input (zero
+    # rows/cols outside the image reproduce nn.Conv's padding=1 AFTER the
+    # out_conv — the bias must not leak into the pad).
+    rz2_s[:, :, :] = jnp.zeros(rz2_s.shape, rz2_s.dtype)
+
+    for j in range(A1 + 2):
+        g296 = a1 - 1 + j
+        valid = (g296 >= 0) & (g296 < HM)
+        gc = jnp.clip(g296, 0, HM - 1)
+        i0, i1, t = _lerp_taps(gc, H0, HM, b0)
+        row0 = rw_s[pl.ds(i0, 1)][0].astype(acc_t)
+        row1 = rw_s[pl.ds(i1, 1)][0].astype(acc_t)
+        v = ((1.0 - t) * row0 + t * row1 + boc_ref[:, :]) * valid.astype(acc_t)
+        rz2_s[j, :, 1:1 + W2] = v.astype(rz2_s.dtype)
+
+    # --- conv1 (with refinenet out_conv folded in), banded 4-row GEMMs.
+    for g in range(A1 // 4):
+        xg = rz2_s[4 * g:4 * g + 6].reshape(6 * C, W2 + 2)
+        acc = b1_ref[:, :] * jnp.ones((4 * C2, W2), acc_t)
+        for dw in range(3):
+            y = jnp.dot(bm1_ref[dw], xg, preferred_element_type=acc_t)
+            acc = acc + y[:, dw:dw + W2]
+        c1_s[4 * g:4 * g + 4] = acc.reshape(4, C2, W2).astype(c1_s.dtype)
+
+    # --- W-resize B (W2 -> W1).
+    for g in range(A1 // 4):
+        cg = c1_s[4 * g:4 * g + 4].reshape(4 * C2, W2)
+        y = jnp.dot(cg, wtb_ref[:, :], preferred_element_type=acc_t)
+        rzw_s[4 * g:4 * g + 4] = y.reshape(4, C2, W1).astype(rzw_s.dtype)
+
+    # --- H-resize B into the W-halo'd conv2 input.
+    rz_s[:, :, :] = jnp.zeros(rz_s.shape, rz_s.dtype)
+
+    for j in range(R + 2):
+        r = r0 - 1 + j
+        valid = (r >= 0) & (r < H1)
+        rc = jnp.clip(r, 0, H1 - 1)
+        i0, i1, t = _lerp_taps(rc, HM, H1, a1)
+        row0 = rzw_s[pl.ds(i0, 1)][0].astype(acc_t)
+        row1 = rzw_s[pl.ds(i1, 1)][0].astype(acc_t)
+        v = ((1.0 - t) * row0 + t * row1) * valid.astype(acc_t)
+        rz_s[j, :, 1:1 + W1] = v.astype(rz_s.dtype)
+
+    # --- conv2 + ReLU + 1x1 + ReLU. 4-row groups: the banded lhs wastes
+    # K-dim zeros quadratically in group size, and static starts don't need
+    # Mosaic's mod-8 dynamic-store alignment.
+    b3 = b3_ref[0, 0]
+    for g in range(R // 4):
+        rg = rz_s[4 * g:4 * g + 6].reshape(6 * C2, W1 + 2)
+        acc = b2_ref[:, :] * jnp.ones((4 * C3, W1), acc_t)
+        for dw in range(3):
+            y = jnp.dot(bm2_ref[dw], rg, preferred_element_type=acc_t)
+            acc = acc + y[:, dw:dw + W1]
+        y = jnp.maximum(acc, 0.0)
+        yw = (y * w3_ref[:, :]).reshape(4, C3, W1)
+        res = jnp.sum(yw, axis=1) + b3
+        out_ref[0, 4 * g:4 * g + 4, :] = jnp.maximum(res, 0.0)
+
+
+def head_tail_ext_pallas(x: jnp.ndarray,
+                         k_oc: jnp.ndarray, b_oc: jnp.ndarray,
+                         k1: jnp.ndarray, b1: jnp.ndarray,
+                         k2: jnp.ndarray, b2: jnp.ndarray,
+                         k3: jnp.ndarray, b3: jnp.ndarray,
+                         out_hw: tuple[int, int],
+                         block_rows: int | None = None,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Fused refinenet1-upsample + out_conv + head tail.
+
+    x (B, H0, W0, C): refinenet1's rcu2 output (pre-upsample). Chain
+    (reference util/blocks.py:144-147 + dpt.py:146-150):
+    bilinear x2 (align_corners) -> out_conv 1x1 (k_oc, b_oc) -> conv1 3x3 ->
+    bilinear to out_hw -> conv2 3x3 -> ReLU -> 1x1 -> ReLU -> (B, H1, W1) f32.
+
+    The 1x1 out_conv commutes with the spatially-pointwise upsample and is
+    folded into conv1's weights at trace time (exact contraction), so the
+    kernel input is the 4x-smaller pre-upsample tensor.
+    """
+    b, h0, w0, c = x.shape
+    h1, w1 = out_hw
+    hm, w2 = h0 * 2, w0 * 2
+    c2 = k1.shape[-1]
+    c3 = k2.shape[-1]
+    assert c2 % 8 == 0 and c3 % 8 == 0
+
+    if block_rows is None:
+        block_rows = ext_pick_block_rows(x.shape, c2, x.dtype, out_hw)
+        if block_rows is None:
+            raise ValueError("no block_rows candidate fits VMEM")
+    r = block_rows
+    assert r % 4 == 0
+    planned = _ext_plan(r, h0, hm, h1, w0, w2, w1, c, c2, x.dtype)
+    if planned is None:
+        raise ValueError(f"input rows {h0} too few for block_rows {r}")
+    a0, a1, _ = planned
+
+    xt = jnp.transpose(x, (0, 1, 3, 2))
+    w0p = w0 + (-w0) % 128
+    xt = jnp.pad(xt, ((0, 0), (0, 0), (0, 0), (0, w0p - w0)))
+
+    dt = x.dtype
+    wta = np.zeros((w0p, w2), np.float64)
+    wta[:w0] = linear_weights(w0, w2, align_corners=True).T
+    wta = jnp.asarray(wta, dt)
+    wtb = jnp.asarray(linear_weights(w2, w1, align_corners=True).T, dt)
+    ocm = jnp.kron(jnp.eye(4, dtype=dt), k_oc[0, 0].T.astype(dt))
+    boc = b_oc.astype(jnp.float32)[:, None]
+    bm1 = _banded_conv_mats(k1.astype(dt))
+    bm2 = _banded_conv_mats(k2.astype(dt))
+    b1t = jnp.tile(b1.astype(jnp.float32), 4)[:, None]
+    b2t = jnp.tile(b2.astype(jnp.float32), 4)[:, None]
+    w3t = jnp.tile(k3[0, 0, :, 0].astype(jnp.float32), 4)[:, None]
+    b3s = jnp.reshape(b3.astype(jnp.float32), (1, 1))
+
+    nblocks = pl.cdiv(h1, r)
+    kernel = functools.partial(
+        _tail_ext_kernel, C=c, C2=c2, C3=c3, H0=h0, W0P=w0p, HM=hm,
+        H1=h1, W2=w2, W1=w1, R=r, A0=a0, A1=a1)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, nblocks),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+                 + [pl.BlockSpec(memory_space=pltpu.HBM)]
+                 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+        out_specs=pl.BlockSpec((1, r, w1), lambda bi, i: (bi, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, nblocks * r, w1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((a0, c, w0p), dt),
+                        pltpu.VMEM((a0, c, w2), dt),
+                        pltpu.VMEM((a1 + 2, c, w2 + 2), dt),
+                        pltpu.VMEM((a1, c2, w2), dt),
+                        pltpu.VMEM((a1, c2, w1), dt),
+                        pltpu.VMEM((r + 2, c2, w1 + 2), dt),
+                        pltpu.SemaphoreType.DMA(())],
+        interpret=interpret,
+    )(b3s, xt, ocm, boc, wta, bm1, wtb, bm2, b1t, b2t, w3t)
+    return out[:, :h1, :]
