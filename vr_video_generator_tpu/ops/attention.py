@@ -61,8 +61,14 @@ def _flash_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     ids = (jax.lax.broadcasted_iota(jnp.int32, (b, total), 1) < n).astype(jnp.int32)
     seg = SegmentIds(q=ids, kv=ids)
 
+    # Full-K blocks: at ViT sequence lengths (~2.5k tokens) the whole K/V
+    # fits VMEM, so a single k block per q block turns the online softmax
+    # into one-shot softmax — the per-block-pair rescaling was ~20% of the
+    # kernel (measured 3.46 -> 3.04 ms/frame x12 at 1080p/vits).
     block = min(_FLASH_BLOCK, total)
-    sizes = BlockSizes(block_q=block, block_k_major=block, block_k=block,
+    # (block_q, total) f32 logits must fit VMEM; chunk K again past ~4k.
+    block_k = total if total <= 4096 else block
+    sizes = BlockSizes(block_q=block, block_k_major=block_k, block_k=block_k,
                        block_b=1)
     out = flash_attention(qt, kt, vt, segment_ids=seg, sm_scale=scale,
                           block_sizes=sizes)
