@@ -18,7 +18,8 @@ if __name__ == "__main__":
             print(f"{issue.kind} issue on {issue.filename}: "
                   f"repair range {issue.repair_range}")
     else:
-        cfg, allow_random = parse_run_config(
+        cfg, cli_args = parse_run_config(
             rest + ["--SubClipDir", args.SubClipDir, "--repair_mode", "1"])
-        issues = check_and_repair(cfg, repair=True, allow_random=allow_random)
+        issues = check_and_repair(cfg, repair=True,
+                                  allow_random=cli_args.allow_random_weights)
         print(f"repaired {len(issues)} issue(s)")

@@ -13,7 +13,7 @@ from vr_video_generator_tpu.utils.config import StereoConfig
 
 
 def test_defaults_match_reference():
-    cfg, allow_random = parse_run_config([])
+    cfg, args = parse_run_config([])
     assert cfg.debug_dir == "./Debug/"
     assert cfg.subclip_dir == "./Subclip/"
     assert cfg.encoder == "vits"
@@ -24,7 +24,8 @@ def test_defaults_match_reference():
     assert cfg.max_frame_count == 15
     assert cfg.start_frame == 0
     assert cfg.repair_mode == 0
-    assert not allow_random
+    assert not args.allow_random_weights
+    assert cfg.mesh_shape is None
 
 
 def test_unknown_flags_ignored():

@@ -52,6 +52,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "checkpoint is available (smoke tests/benchmarks)")
     p.add_argument("--profile_dir", type=str, default="",
                    help="write a jax.profiler trace of the conversion here")
+    p.add_argument("--mesh", type=str, default="",
+                   help="(data,model) device-mesh shape, e.g. 4x2 — runs the "
+                        "sharded multi-chip pipeline instead of single-chip")
+    # multi-host bootstrap (jax.distributed); all three or none
+    p.add_argument("--coordinator_address", type=str, default="",
+                   help="host:port of process 0 for multi-host pod slices")
+    p.add_argument("--num_processes", type=int, default=0)
+    p.add_argument("--process_id", type=int, default=-1)
     return p
 
 
@@ -67,6 +75,11 @@ def parse_run_config(argv: Optional[List[str]] = None) -> tuple[RunConfig, bool]
         else:
             offset_fg = -offset_fg
 
+    mesh_shape = None
+    if args.mesh:
+        parts = args.mesh.replace("x", ",").split(",")
+        mesh_shape = tuple(int(v) for v in parts)
+
     cfg = RunConfig(
         debug_dir=args.DebugDir, subclip_dir=args.SubClipDir,
         video_dir=args.VideoDir, output_dir=args.OutputDir,
@@ -80,13 +93,13 @@ def parse_run_config(argv: Optional[List[str]] = None) -> tuple[RunConfig, bool]
         repair_mode=args.repair_mode, batch_size=args.batch_size,
         input_size=args.input_size, compute_dtype=args.compute_dtype,
         warp_impl=args.warp_impl, encoder_device=args.encoder_device,
-        profile_dir=args.profile_dir,
+        profile_dir=args.profile_dir, mesh_shape=mesh_shape,
     )
-    return cfg, args.allow_random_weights
+    return cfg, args
 
 
 def main(argv: Optional[List[str]] = None) -> int:
-    cfg, allow_random = parse_run_config(argv)
+    cfg, args = parse_run_config(argv)
     from vr_video_generator_tpu.runtime.orchestrator import run
     from vr_video_generator_tpu.utils.cache import (
         enable_compilation_cache,
@@ -95,7 +108,13 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     honor_platform_env()
     enable_compilation_cache()
-    run(cfg, allow_random=allow_random)
+    if args.coordinator_address or args.num_processes > 1:
+        from vr_video_generator_tpu.parallel.multihost import initialize
+
+        initialize(args.coordinator_address or None,
+                   args.num_processes or None,
+                   args.process_id if args.process_id >= 0 else None)
+    run(cfg, allow_random=args.allow_random_weights)
     return 0
 
 

@@ -148,7 +148,7 @@ def warp_composite_pallas(img_u8: jnp.ndarray, depth: jnp.ndarray,
     return _unpack_rgb(out_packed), covered
 
 
-def _blur_select_kernel(cov_ref, comp_hbm, out_ref, scratch, sem,
+def _blur_select_kernel(cov_ref, comp_hbm, out_ref, scratch, hb_s, sem,
                         *, kxw, kyw, bh: int, w: int, px: int, py: int):
     """Separable Gaussian blur + hole-select over one (bh, w) row block.
 
@@ -156,6 +156,11 @@ def _blur_select_kernel(cov_ref, comp_hbm, out_ref, scratch, sem,
     (B, nblocks*bh + 2*py, w + 2*px) living in HBM/ANY; each program DMAs its
     (bh + 2*py)-row window (vertical halo) and blurs with static-slice
     multiply-adds — no wraparound anywhere, reflect handled by the XLA pad.
+
+    The horizontal pass accumulates into the ``hb_s`` scratch ref rather
+    than an SSA value: with value accumulation Mosaic keeps every unrolled
+    tap's window slice on the kernel stack at once, which blows the 16M
+    scoped-vmem limit at 4K widths (taps scale with kernel_size ~ H).
     """
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -169,12 +174,12 @@ def _blur_select_kernel(cov_ref, comp_hbm, out_ref, scratch, sem,
     for shiftbits in (0, 8, 16):
         # Mosaic has no uint32<->float32 cast; the masked byte fits int32.
         ch = ((window >> shiftbits) & 0xFF).astype(jnp.int32).astype(jnp.float32)
-        hb = jnp.zeros((bh + 2 * py, w), jnp.float32)
+        hb_s[:, :] = jnp.zeros((bh + 2 * py, w), jnp.float32)
         for t in range(len(kxw)):
-            hb = hb + float(kxw[t]) * ch[:, t:t + w]
+            hb_s[:, :] = hb_s[:, :] + float(kxw[t]) * ch[:, t:t + w]
         vb = jnp.zeros((bh, w), jnp.float32)
         for t in range(len(kyw)):
-            vb = vb + float(kyw[t]) * hb[t:t + bh, :]
+            vb = vb + float(kyw[t]) * hb_s[t:t + bh, :]
         chans_blurred.append(
             jnp.clip(jnp.round(vb), 0, 255).astype(jnp.int32).astype(jnp.uint32))
 
@@ -226,6 +231,7 @@ def blur_select_pallas(composite_packed: jnp.ndarray, covered: jnp.ndarray,
                                        jnp.uint32),
         scratch_shapes=[pltpu.VMEM((block_rows + 2 * py, w + 2 * px + w_pad),
                                    jnp.uint32),
+                        pltpu.VMEM((block_rows + 2 * py, w), jnp.float32),
                         pltpu.SemaphoreType.DMA(())],
         interpret=interpret,
     )(covered, comp_pad)

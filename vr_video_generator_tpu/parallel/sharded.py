@@ -24,6 +24,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vr_video_generator_tpu.models.depth_anything_v2 import DepthAnythingV2, infer_depth
@@ -69,10 +70,24 @@ class ShardedSbsPipeline:
             out_shardings=(data_sharding, state_shardings),
             donate_argnums=(2,))
 
+    @property
+    def local_slots(self):
+        """``data``-axis slots this process owns (all of them single-host)."""
+        from vr_video_generator_tpu.parallel.multihost import local_data_slots
+
+        return local_data_slots(self.mesh)
+
     def initial_state(self) -> TemporalState:
-        return jax.device_put(
-            batched_initial_state(self.n_data, self.height, self.width),
-            NamedSharding(self.mesh, P("data")))
+        # Created on-device under out_shardings (not device_put of a host
+        # array) so every process of a multi-host mesh can build the global
+        # state without holding non-addressable shards.
+        sharding = jax.tree.map(
+            lambda _: NamedSharding(self.mesh, P("data")),
+            batched_initial_state(1, 1, 1))
+        return jax.jit(
+            functools.partial(batched_initial_state, self.n_data,
+                              self.height, self.width),
+            out_shardings=sharding)()
 
     def _step_impl(self, params, frames_u8: jnp.ndarray,
                    states: TemporalState) -> Tuple[jnp.ndarray, TemporalState]:
@@ -101,6 +116,19 @@ class ShardedSbsPipeline:
 
     def step(self, frames_u8, states: TemporalState):
         return self._step(self.params, jnp.asarray(frames_u8), states)
+
+    def step_local(self, local_frames_u8, states: TemporalState):
+        """Multi-host step: ``local_frames_u8`` holds only this process's
+        ``data`` slots, stacked in ascending slot order —
+        (len(local_slots) * batch, H, W, 3). The global array is assembled
+        from every process's local shards; frames never cross hosts
+        (SURVEY.md §2c: DCN carries only program coordination)."""
+        n_local, h, w, _ = local_frames_u8.shape
+        n_global = n_local * (self.n_data // max(len(self.local_slots), 1))
+        sharding = NamedSharding(self.mesh, P("data"))
+        frames = jax.make_array_from_process_local_data(
+            sharding, np.asarray(local_frames_u8), (n_global, h, w, 3))
+        return self._step(self.params, frames, states)
 
 
 def _state_specs() -> TemporalState:

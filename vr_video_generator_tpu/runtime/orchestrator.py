@@ -35,11 +35,19 @@ def convert_range(cfg: RunConfig, begin: int, end: int,
                   pipeline: Optional[SbsPipeline] = None,
                   allow_random: bool = False,
                   log: Optional[WorkerLog] = None) -> int:
-    """Convert frames [begin, end) of cfg.video_dir into subclips."""
+    """Convert frames [begin, end) of cfg.video_dir into subclips.
+
+    With ``cfg.mesh_shape`` set, dispatches to the multi-chip sharded
+    runtime (one contiguous temporal segment per ``data`` slot) instead of
+    the single-chip loop.
+    """
     fps, video_length, width, height = probe_video(cfg.video_dir)
     end = min(end, video_length)
     if end <= begin:
         return 0
+    if cfg.mesh_shape is not None and pipeline is None:
+        return _convert_range_sharded(cfg, begin, end, width, height,
+                                      allow_random=allow_random, log=log)
     if pipeline is None:
         pipeline = SbsPipeline.create(cfg, height, width,
                                       allow_random=allow_random)
@@ -62,6 +70,36 @@ def convert_range(cfg: RunConfig, begin: int, end: int,
         raise
     finally:
         writer.close()
+
+
+def _convert_range_sharded(cfg: RunConfig, begin: int, end: int,
+                           width: int, height: int,
+                           allow_random: bool = False,
+                           log: Optional[WorkerLog] = None) -> int:
+    import jax
+
+    from vr_video_generator_tpu.models.factory import load_model
+    from vr_video_generator_tpu.parallel.mesh import make_mesh
+    from vr_video_generator_tpu.parallel.sharded import ShardedSbsPipeline
+    from vr_video_generator_tpu.runtime.sharded_runner import run_sharded
+
+    import jax.numpy as jnp
+
+    mesh = make_mesh(cfg.mesh_shape)
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    model, params = load_model(cfg.encoder, cfg.encoder_path, dtype=dtype,
+                               allow_random=allow_random)
+    pipe = ShardedSbsPipeline(model, params, height, width, mesh, run_cfg=cfg)
+    suffix = f"sharded_p{jax.process_index()}"
+    log = log or WorkerLog(os.path.join(cfg.debug_dir, f"{suffix}.txt"))
+    try:
+        return run_sharded(pipe, cfg.video_dir, cfg.subclip_dir, begin, end,
+                           max_frame_count=cfg.max_frame_count,
+                           batch_size=cfg.batch_size, log=log)
+    except Exception as e:  # error funnel parity (reference :259-272)
+        log.error("Sharded conversion failed", e,
+                  error_path=os.path.join(cfg.debug_dir, "ERROR.txt"))
+        raise
 
 
 def run(cfg: RunConfig, allow_random: bool = False) -> None:

@@ -54,25 +54,38 @@ def run_sharded(pipeline: ShardedSbsPipeline, video_path: str,
                 max_frame_count: int, batch_size: int,
                 log: Optional[WorkerLog] = None,
                 writer_backend: str = "auto") -> int:
-    """Convert frames [start, end) with n_data concurrent segments."""
+    """Convert frames [start, end) with n_data concurrent segments.
+
+    Multi-host aware: every process runs the same (globally uniform) step
+    count, but decodes/encodes only the ``data`` slots whose devices it owns
+    (parallel/multihost.py) and feeds them via ``step_local`` — frames never
+    cross hosts. Single-host this reduces to all slots local.
+    """
     log = log or WorkerLog(None)
     n_data = pipeline.n_data
     b = batch_size
-    segs: List[_Segment] = []
+    bounds = partition_segments(start, end, n_data)
+    owned = pipeline.local_slots
+    multi_host = len(owned) < n_data
+
+    segs: List[Optional[_Segment]] = [None] * n_data
     fps = None
-    for lo, hi in partition_segments(start, end, n_data):
+    for i in owned:
+        lo, hi = bounds[i]
         reader = VideoReader(video_path, begin=lo)
         fps = fps or reader.fps
-        segs.append(_Segment(begin=lo, end=hi, cursor=lo, reader=reader,
-                             pending=[], clip_begin=lo))
+        segs[i] = _Segment(begin=lo, end=hi, cursor=lo, reader=reader,
+                           pending=[], clip_begin=lo)
     writer = SubclipWriter(subclip_dir, fps, 2 * pipeline.width,
                            pipeline.height, backend=writer_backend)
 
-    total = max(end - start, 1)
+    total = max(sum(hi - lo for lo, hi in (bounds[i] for i in owned)), 1)
     meter = ProgressMeter(total, log)
     states = pipeline.initial_state()
     frames_done = 0
     h, w = pipeline.height, pipeline.width
+    # Same trip count on every process: the longest segment anywhere decides.
+    n_steps = max(-(-(hi - lo) // b) for lo, hi in bounds)
 
     def flush(seg: _Segment, force: bool) -> None:
         while (len(seg.pending) >= max_frame_count
@@ -82,30 +95,41 @@ def run_sharded(pipeline: ShardedSbsPipeline, video_path: str,
             writer.write_clip(seg.clip_begin, chunk)
             seg.clip_begin += len(chunk)
 
-    while any(not s.done() for s in segs):
-        batch = np.zeros((n_data, b, h, w, 3), np.uint8)
+    for _ in range(n_steps):
+        batch = np.zeros((len(owned), b, h, w, 3), np.uint8)
         counts = []
-        for i, seg in enumerate(segs):
+        for slot_i, i in enumerate(owned):
+            seg = segs[i]
             n_want = min(b, seg.end - seg.cursor)
             for j, frame in enumerate(seg.reader.frames(seg.cursor,
                                                         seg.cursor + n_want)):
-                batch[i, j] = frame
+                batch[slot_i, j] = frame
             if 0 < n_want < b:  # pad with the last frame for static shapes
-                batch[i, n_want:] = batch[i, n_want - 1]
+                batch[slot_i, n_want:] = batch[slot_i, n_want - 1]
             counts.append(n_want)
-        sbs, states = pipeline.step(batch.reshape(n_data * b, h, w, 3), states)
-        sbs_np = np.asarray(sbs).reshape(n_data, b, h, 2 * w, 3)
-        for i, seg in enumerate(segs):
-            if counts[i]:
-                seg.pending.extend(sbs_np[i, :counts[i]])
-                seg.cursor += counts[i]
-                frames_done += counts[i]
+        local = batch.reshape(len(owned) * b, h, w, 3)
+        if multi_host:
+            sbs, states = pipeline.step_local(local, states)
+            shards = {s.index[0].start or 0: np.asarray(s.data)
+                      for s in sbs.addressable_shards}
+            sbs_np = np.concatenate(
+                [shards[k] for k in sorted(shards)], axis=0)
+        else:
+            sbs, states = pipeline.step(local, states)
+            sbs_np = np.asarray(sbs)
+        sbs_np = sbs_np.reshape(len(owned), b, h, 2 * w, 3)
+        for slot_i, i in enumerate(owned):
+            seg = segs[i]
+            if counts[slot_i]:
+                seg.pending.extend(sbs_np[slot_i, :counts[slot_i]])
+                seg.cursor += counts[slot_i]
+                frames_done += counts[slot_i]
                 flush(seg, force=seg.done())
         meter.report(max(frames_done, 1))
 
-    for seg in segs:
-        flush(seg, force=True)
-        seg.reader.close()
+    for i in owned:
+        flush(segs[i], force=True)
+        segs[i].reader.close()
     writer.close()
     log.write("Sharded runner ending")
     return frames_done
