@@ -34,7 +34,16 @@ def mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
         impl: str = "auto") -> jnp.ndarray:
     """q/k/v: (B, N, H, D) -> (B, N, H, D)."""
     if impl == "auto":
-        impl = "flash" if _flash_available() else "xla"
+        if _flash_available():
+            from vr_video_generator_tpu.ops.attention_pallas import supported
+
+            impl = "oneshot" if supported(q.shape[1]) else "flash"
+        else:
+            impl = "xla"
+    if impl == "oneshot":
+        from vr_video_generator_tpu.ops.attention_pallas import oneshot_mha
+
+        return oneshot_mha(q, k, v, scale)
     if impl == "flash":
         return _flash_mha(q, k, v, scale)
     return jax.nn.dot_product_attention(q, k, v, scale=scale,

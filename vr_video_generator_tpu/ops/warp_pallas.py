@@ -164,11 +164,14 @@ def _blur_select_kernel(cov_ref, comp_hbm, out_ref, scratch, hb_s, sem,
     """
     b = pl.program_id(0)
     i = pl.program_id(1)
+    # DMA row count must be sublane-aligned (mult of 8); the window is
+    # over-fetched to wr rows and the blur only reads the first bh + 2*py.
+    wr = scratch.shape[0]
     copy = pltpu.make_async_copy(
-        comp_hbm.at[b, pl.ds(i * bh, bh + 2 * py), :], scratch, sem)
+        comp_hbm.at[b, pl.ds(i * bh, wr), :], scratch, sem)
     copy.start()
     copy.wait()
-    window = scratch[:, :]
+    window = scratch[:bh + 2 * py, :]
 
     chans_blurred = []
     for shiftbits in (0, 8, 16):
@@ -209,9 +212,14 @@ def blur_select_pallas(composite_packed: jnp.ndarray, covered: jnp.ndarray,
     nblocks = pl.cdiv(h, block_rows)
     pad_h = nblocks * block_rows - h
     # DMA slices must be lane-aligned: pad the width to a multiple of 128
-    # (the extra columns are dead — the blur only reads the first w+2*px).
+    # (the extra columns are dead — the blur only reads the first w+2*px),
+    # and over-fetch the row window to a sublane multiple of 8.
     w_pad = (-(w + 2 * px)) % 128
-    comp_pad = jnp.pad(composite_packed, ((0, 0), (py, py + pad_h), (px, px + w_pad)),
+    wr = block_rows + 2 * py + (-(block_rows + 2 * py)) % 8
+    extra_rows = wr - (block_rows + 2 * py)
+    comp_pad = jnp.pad(composite_packed,
+                       ((0, 0), (py, py + pad_h + extra_rows),
+                        (px, px + w_pad)),
                        mode="reflect")
 
     kernel = functools.partial(_blur_select_kernel, kxw=tuple(kxw),
@@ -229,8 +237,7 @@ def blur_select_pallas(composite_packed: jnp.ndarray, covered: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, nblocks * block_rows, w),
                                        jnp.uint32),
-        scratch_shapes=[pltpu.VMEM((block_rows + 2 * py, w + 2 * px + w_pad),
-                                   jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((wr, w + 2 * px + w_pad), jnp.uint32),
                         pltpu.VMEM((block_rows + 2 * py, w), jnp.float32),
                         pltpu.SemaphoreType.DMA(())],
         interpret=interpret,
