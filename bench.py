@@ -28,7 +28,7 @@ CONFIGS = {
 }
 
 
-def run_config(config: int) -> dict:
+def run_config(config: int, gelu: str = "exact") -> dict:
     import jax
 
     from vr_video_generator_tpu.utils.cache import enable_compilation_cache
@@ -47,11 +47,11 @@ def run_config(config: int) -> dict:
     if not on_tpu:  # CPU smoke: shrink so the bench stays runnable anywhere
         encoder, h, w, b = "vits", 270, 480, 2
 
-    model = DepthAnythingV2(ModelConfig.for_encoder(encoder),
+    cfg = RunConfig(batch_size=b, input_size=518 if on_tpu else 126,
+                    offset_step_size=step, encoder=encoder, gelu=gelu)
+    model = DepthAnythingV2(cfg.model(),
                             dtype=jnp.bfloat16 if on_tpu else jnp.float32)
     params = random_params(model)
-    cfg = RunConfig(batch_size=b, input_size=518 if on_tpu else 126,
-                    offset_step_size=step, encoder=encoder)
     pipe = SbsPipeline(model, params, h, w, run_cfg=cfg)
 
     k_steps = 8 if on_tpu else 2
@@ -100,8 +100,10 @@ def run_config(config: int) -> dict:
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=int, default=2, choices=sorted(CONFIGS))
+    parser.add_argument("--gelu", type=str, default="exact",
+                        choices=["exact", "tanh"])
     args, _ = parser.parse_known_args()
-    print(json.dumps(run_config(args.config)))
+    print(json.dumps(run_config(args.config, gelu=args.gelu)))
 
 
 if __name__ == "__main__":

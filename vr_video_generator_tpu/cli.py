@@ -50,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--allow_random_weights", action="store_true",
                    help="run with seeded random model weights when no "
                         "checkpoint is available (smoke tests/benchmarks)")
+    p.add_argument("--gelu", type=str, default="exact",
+                   choices=["exact", "tanh"],
+                   help="tanh-approx GELU is ~0.8 ms/frame faster at "
+                        "1080p/vits; exact matches the reference")
     p.add_argument("--profile_dir", type=str, default="",
                    help="write a jax.profiler trace of the conversion here")
     p.add_argument("--mesh", type=str, default="",
@@ -93,7 +97,7 @@ def parse_run_config(argv: Optional[List[str]] = None) -> tuple[RunConfig, bool]
         repair_mode=args.repair_mode, batch_size=args.batch_size,
         input_size=args.input_size, compute_dtype=args.compute_dtype,
         warp_impl=args.warp_impl, encoder_device=args.encoder_device,
-        profile_dir=args.profile_dir, mesh_shape=mesh_shape,
+        gelu=args.gelu, profile_dir=args.profile_dir, mesh_shape=mesh_shape,
     )
     return cfg, args
 

@@ -47,16 +47,20 @@ class LayerNorm(nn.Module):
 
 
 class Mlp(nn.Module):
-    """Transformer MLP with exact (erf) GELU — reference dinov2_layers/mlp.py:17-41."""
+    """Transformer MLP with exact (erf) GELU — reference dinov2_layers/mlp.py:17-41.
+
+    ``gelu_approx`` swaps in the tanh approximation (ModelConfig.gelu_approx
+    — a speed knob, not reference parity)."""
 
     hidden_dim: int
     out_dim: int
     dtype: Dtype = jnp.float32
+    gelu_approx: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
-        x = jax.nn.gelu(x, approximate=False)
+        x = jax.nn.gelu(x, approximate=self.gelu_approx)
         x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
         return x
 
@@ -128,6 +132,7 @@ class Block(nn.Module):
     mlp_ratio: float
     ffn_layer: str = "mlp"
     dtype: Dtype = jnp.float32
+    gelu_approx: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -135,9 +140,12 @@ class Block(nn.Module):
         h = Attention(self.num_heads, dtype=self.dtype, name="attn")(h)
         x = x + LayerScale(self.dim, dtype=self.dtype, name="ls1")(h)
         h = LayerNorm(self.dim, dtype=self.dtype, name="norm2")(x)
-        ffn_cls = SwiGLUFFN if self.ffn_layer == "swiglufused" else Mlp
-        h = ffn_cls(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype,
-                    name="mlp")(h)
+        if self.ffn_layer == "swiglufused":
+            h = SwiGLUFFN(int(self.dim * self.mlp_ratio), self.dim,
+                          dtype=self.dtype, name="mlp")(h)
+        else:
+            h = Mlp(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype,
+                    gelu_approx=self.gelu_approx, name="mlp")(h)
         return x + LayerScale(self.dim, dtype=self.dtype, name="ls2")(h)
 
 
@@ -216,7 +224,7 @@ class DinoVisionTransformer(nn.Module):
         for i in range(cfg.depth):
             x = Block(cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio,
                       ffn_layer=cfg.ffn_layer, dtype=self.dtype,
-                      name=f"block{i}")(x)
+                      gelu_approx=cfg.gelu_approx, name=f"block{i}")(x)
             if i in take:
                 out = final_norm(x)
                 tapped[i] = (out[:, 1:], out[:, 0])

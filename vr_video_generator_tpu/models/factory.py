@@ -26,7 +26,8 @@ def random_params(model: DepthAnythingV2, seed: int = 0,
 
 
 def load_model(encoder: str, encoder_path: Optional[str] = None,
-               dtype=jnp.bfloat16, allow_random: bool = False):
+               dtype=jnp.bfloat16, allow_random: bool = False,
+               gelu: str = "exact"):
     """Build a DepthAnythingV2 and its params.
 
     Matches the reference factory's per-size configuration
@@ -35,6 +36,10 @@ def load_model(encoder: str, encoder_path: Optional[str] = None,
     full pipeline stays runnable without the downloaded checkpoints.
     """
     cfg = ModelConfig.for_encoder(encoder)
+    if gelu == "tanh":
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, gelu_approx=True)
     model = DepthAnythingV2(cfg, dtype=dtype)
     if encoder_path and os.path.isdir(encoder_path):
         # native Orbax checkpoint dir (models/checkpoint.py)

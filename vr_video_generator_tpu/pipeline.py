@@ -52,7 +52,8 @@ class SbsPipeline:
         if dtype is None:
             dtype = jnp.bfloat16 if run_cfg.compute_dtype == "bfloat16" else jnp.float32
         model, params = load_model(run_cfg.encoder, run_cfg.encoder_path,
-                                   dtype=dtype, allow_random=allow_random)
+                                   dtype=dtype, allow_random=allow_random,
+                                   gelu=run_cfg.gelu)
         return cls(model, params, height, width, run_cfg=run_cfg)
 
     def initial_state(self) -> TemporalState:

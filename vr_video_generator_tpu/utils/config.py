@@ -109,6 +109,10 @@ class ModelConfig:
     layerscale_init: float = 1.0
     interpolate_offset: float = 0.1  # DINOv2 pos-embed interpolation quirk
     ffn_layer: str = "mlp"  # "swiglufused" for vitg
+    # tanh-approx GELU saves ~0.8 ms/frame at 1080p/vits; deviation is the
+    # same order as the bf16 noise floor but off by default for strict
+    # parity with the reference's exact erf GELU (dinov2_layers/mlp.py:37)
+    gelu_approx: bool = False
     depth_scaler: float = 1.618
 
     @staticmethod
@@ -166,6 +170,7 @@ class RunConfig:
     mesh_shape: Optional[Tuple[int, ...]] = None  # None -> all devices on 'data'
     encoder_device: str = "cpu"   # ffmpeg video-encoder selection ('cpu'|'nvidia')
     warp_impl: str = "auto"       # 'auto' | 'xla' | 'pallas'
+    gelu: str = "exact"           # 'exact' (reference parity) | 'tanh' (fast)
     profile_dir: str = ""         # jax.profiler trace output dir ("" = off)
 
     def stereo(self) -> StereoConfig:
@@ -173,4 +178,9 @@ class RunConfig:
                             offset_step_size=self.offset_step_size).normalized()
 
     def model(self) -> ModelConfig:
-        return ModelConfig.for_encoder(self.encoder)
+        import dataclasses
+
+        cfg = ModelConfig.for_encoder(self.encoder)
+        if self.gelu == "tanh":
+            cfg = dataclasses.replace(cfg, gelu_approx=True)
+        return cfg
