@@ -52,7 +52,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "checkpoint is available (smoke tests/benchmarks)")
     p.add_argument("--gelu", type=str, default="exact",
                    choices=["exact", "tanh"],
-                   help="tanh-approx GELU is ~0.8 ms/frame faster at "
+                   help="tanh-approx GELU is ~0.2 ms/frame faster at "
                         "1080p/vits; exact matches the reference")
     p.add_argument("--profile_dir", type=str, default="",
                    help="write a jax.profiler trace of the conversion here")
