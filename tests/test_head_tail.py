@@ -90,3 +90,74 @@ def test_head_tail_ext_parity(h0, w0, c, c2, c3):
     assert got.shape == want.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=0, atol=5e-4)
+
+
+def xla_rcu_pair(rn0, path2, k1a, b1a, k2a, b2a, k1b, b1b, k2b, b2b):
+    """Mirror of refinenet1's rcu1+rcu2 chain (util/blocks.py:29-141)."""
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    def rcu(x, k1, b1, k2, b2):
+        y = jax.nn.relu(x)
+        y = jax.lax.conv_general_dilated(y, k1, (1, 1), [(1, 1), (1, 1)],
+                                         dimension_numbers=dn) + b1
+        y = jax.nn.relu(y)
+        y = jax.lax.conv_general_dilated(y, k2, (1, 1), [(1, 1), (1, 1)],
+                                         dimension_numbers=dn) + b2
+        return y + x
+
+    t = path2 + rcu(rn0, k1a, b1a, k2a, b2a)
+    return rcu(t, k1b, b1b, k2b, b2b)
+
+
+@pytest.mark.parametrize("h0,w0,c,r", [(36, 64, 16, 16), (20, 48, 8, 32)])
+def test_rcu_pair_parity(h0, w0, c, r):
+    from vr_video_generator_tpu.ops.head_tail_pallas import refinenet_pre_pallas
+
+    rng = np.random.default_rng(13)
+    rn0 = jnp.asarray(rng.standard_normal((2, h0, w0, c)), jnp.float32)
+    path2 = jnp.asarray(rng.standard_normal((2, h0, w0, c)), jnp.float32)
+    ws = []
+    for _ in range(2):
+        ws += [jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.1, jnp.float32),
+               jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32),
+               jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.1, jnp.float32),
+               jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)]
+    want = xla_rcu_pair(rn0, path2, *ws)
+    got_t = refinenet_pre_pallas(rn0, path2, *ws, block_rows=r, interpret=True)
+    got = jnp.transpose(got_t[:, :, :, 4:4 + w0], (0, 1, 3, 2))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=3e-4)
+
+
+def test_rcu_plus_ext_chain_parity():
+    """refinenet_pre_pallas -> head_tail_ext_pallas(channel_major_halo) vs
+    the full XLA refinenet1+tail chain."""
+    from vr_video_generator_tpu.ops.head_tail_pallas import (
+        head_tail_ext_pallas, refinenet_pre_pallas)
+
+    rng = np.random.default_rng(17)
+    h0, w0, c, c2, c3 = 36, 64, 32, 16, 8
+    h1, w1 = h0 * 2 * 14 // 8, w0 * 2 * 14 // 8
+    rn0 = jnp.asarray(rng.standard_normal((2, h0, w0, c)), jnp.float32)
+    path2 = jnp.asarray(rng.standard_normal((2, h0, w0, c)), jnp.float32)
+    rcu_ws = []
+    for _ in range(2):
+        rcu_ws += [
+            jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.1, jnp.float32),
+            jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32),
+            jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.1, jnp.float32),
+            jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)]
+    k_oc = jnp.asarray(rng.standard_normal((1, 1, c, c)) * 0.1, jnp.float32)
+    b_oc = jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)
+    (_, k1, b1, k2, b2, k3, b3, _) = _make_case(rng, 1, 8, 8, c, c2, c3)
+
+    pre = xla_rcu_pair(rn0, path2, *rcu_ws)
+    want = xla_tail_ext(pre, k_oc, b_oc, k1, b1, k2, b2, k3, b3, (h1, w1))
+
+    pre_t = refinenet_pre_pallas(rn0, path2, *rcu_ws, block_rows=16,
+                                 interpret=True)
+    got = head_tail_ext_pallas(pre_t, k_oc, b_oc, k1, b1, k2, b2, k3, b3,
+                               (h1, w1), block_rows=16,
+                               channel_major_halo=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=1e-3)

@@ -19,8 +19,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from vr_video_generator_tpu.ops.head_tail_pallas import (ext_pick_block_rows,
-                                                         head_tail_ext_pallas)
+from vr_video_generator_tpu.ops.head_tail_pallas import (
+    ext_pick_block_rows, head_tail_ext_pallas)
 from vr_video_generator_tpu.ops.resize import resize_bilinear
 from vr_video_generator_tpu.utils.config import ModelConfig
 
@@ -74,6 +74,19 @@ class _ConvParams(nn.Module):
         return kernel, bias
 
 
+class _RCUParams(nn.Module):
+    """Param tree of a ResidualConvUnit (conv1+conv2) without the compute —
+    consumed by the fused refinenet_pre_pallas kernel."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k1, b1 = _ConvParams(self.features, self.features, name="conv1")()
+        k2, b2 = _ConvParams(self.features, self.features, name="conv2")()
+        return k1, b1, k2, b2
+
+
 class ResidualConvUnit(nn.Module):
     """relu-conv-relu-conv + skip — reference util/blocks.py:29-80 (no BN)."""
 
@@ -105,7 +118,16 @@ class FeatureFusionBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, skip: jnp.ndarray | None = None,
                  out_hw: Tuple[int, int] | None = None,
-                 return_pre_upsample: bool = False):
+                 return_pre_upsample: bool = False,
+                 return_params: bool = False):
+        if return_params:
+            # fully-fused path: declare the identical param tree and hand
+            # everything to the Pallas kernels (rcu pair + ext tail).
+            r1 = _RCUParams(self.features, name="rcu1")()
+            r2 = _RCUParams(self.features, name="rcu2")()
+            oc = _ConvParams(self.features, self.features, (1, 1),
+                             name="out_conv")()
+            return r1, r2, oc
         if skip is not None:
             x = x + ResidualConvUnit(self.features, dtype=self.dtype,
                                      name="rcu1")(skip)
@@ -182,6 +204,10 @@ class DPTHead(nn.Module):
             fuse = False  # e.g. vitl: 256-channel rows blow the VMEM plan
 
         if fuse:
+            # NOTE: a fused rcu1/rcu2 kernel exists (refinenet_pre_pallas +
+            # channel_major_halo tail input) but measured slower than XLA's
+            # RCU convs at 148-space (halo recompute at VMEM-bounded block
+            # sizes), so the RCUs stay XLA here.
             pre, oc_k, oc_b = FeatureFusionBlock(
                 feats, dtype=self.dtype, name="refinenet1")(
                 path2, rn[0], return_pre_upsample=True)
