@@ -74,6 +74,63 @@ def test_checker_finds_gap_and_length_issue(tmp_path):
     assert continuity_issue.repair_range == (4, 6)
 
 
+def test_checker_catches_one_frame_gap(tmp_path):
+    """A genuine 1-frame gap must be flagged (the old predicate accepted
+    end == next_begin, which masked exactly this case)."""
+    subdir = str(tmp_path / "sub") + os.sep
+    writer = SubclipWriter(subdir, FPS, W, H, backend="cv2")
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, (10, H, W, 3), dtype=np.uint8)
+    writer.write_clip(0, list(frames[:6]))     # 0_5
+    writer.write_clip(7, list(frames[7:]))     # 7_9: frame 6 missing
+    writer.close()
+    issues = check_subclips(subdir)
+    assert [(i.kind, i.repair_range) for i in issues] == [("continuity", (6, 7))]
+
+
+def test_checker_catches_overlapping_clips(tmp_path):
+    """Clips 0_5 + 5_9 double-own frame 5 under the writer's end-inclusive
+    naming; the later clip is dropped and its range queued for repair."""
+    subdir = str(tmp_path / "sub") + os.sep
+    writer = SubclipWriter(subdir, FPS, W, H, backend="cv2")
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, (11, H, W, 3), dtype=np.uint8)
+    writer.write_clip(0, list(frames[:6]))     # 0_5
+    writer.write_clip(5, list(frames[5:10]))   # 5_9 (overlap at frame 5)
+    writer.close()
+    issues = check_subclips(subdir, remove_bad=True)
+    assert [(i.kind, i.filename, i.repair_range) for i in issues] == [
+        ("continuity", "5_9.mp4", (5, 10))]
+    assert sorted_subclips(subdir) == ["0_5.mp4"]
+
+
+def test_auto_backend_policy():
+    from vr_video_generator_tpu.video.reader import pick_auto_backend
+    assert pick_auto_backend(0, "/usr/bin/ffmpeg") == "ffmpeg"
+    assert pick_auto_backend(100, "/usr/bin/ffmpeg") == "cv2"
+    assert pick_auto_backend(0, None) == "cv2"
+    assert pick_auto_backend(100, None) == "cv2"
+
+
+@pytest.mark.skipif(
+    __import__("vr_video_generator_tpu.video.reader", fromlist=["find_binary"])
+    .find_binary("ffmpeg") is None,
+    reason="no ffmpeg binary on host")
+def test_ffmpeg_backend_frame_exact_seek(tmp_path):
+    """ffmpeg backend at begin=k must yield exactly the frames cv2 yields —
+    the select=gte(n,begin) filter is frame-exact for arbitrary GOPs."""
+    path = tmp_path / "in.mp4"
+    write_synthetic_video(path, 20)
+    with VideoReader(str(path), begin=7, backend="cv2") as ref:
+        want = list(ref.frames(7, 20))
+    with VideoReader(str(path), begin=7, backend="ffmpeg") as reader:
+        got = list(reader.frames(7, 20))
+    assert len(got) == len(want) == 13
+    for a, b in zip(got, want):
+        # both decode the same bitstream; allow tiny colorspace rounding skew
+        assert np.mean(np.abs(a.astype(int) - b.astype(int))) < 2.0
+
+
 def test_combine_clips_cv2_fallback(tmp_path, monkeypatch):
     # force the no-ffmpeg fallback regardless of host
     monkeypatch.setenv("PATH", "")

@@ -35,8 +35,9 @@ def check_subclips(subclip_dir: str, remove_bad: bool = False) -> List[ClipIssue
     """Scan sorted subclips for length and continuity issues
     (reference Check_Clips.py:19-37)."""
     issues: List[ClipIssue] = []
-    clips = sorted_subclips(subclip_dir)
-    for i, name in enumerate(clips):
+    prev_name = None
+    prev_end = None  # end-inclusive frame of the last clip kept so far
+    for name in sorted_subclips(subclip_dir):
         begin, end_inclusive = parse_clip_name(name)
         path = os.path.join(subclip_dir, name)
         _, real_len, _, _ = probe_video(path)
@@ -45,9 +46,21 @@ def check_subclips(subclip_dir: str, remove_bad: bool = False) -> List[ClipIssue
             issues.append(ClipIssue("length", name, (begin, end_inclusive + 1)))
             if remove_bad:
                 os.remove(path)
-        if i + 1 < len(clips):
-            next_begin, _ = parse_clip_name(clips[i + 1])
-            if end_inclusive != next_begin and end_inclusive != next_begin - 1:
+        if prev_end is not None:
+            # The writer's names are end-INCLUSIVE (video/writer.py), so the
+            # only contiguous layout is begin == prev_end + 1. Accepting
+            # begin == prev_end too would mask a real 1-frame gap.
+            if begin > prev_end + 1:          # gap
+                issues.append(ClipIssue("continuity", prev_name,
+                                        (prev_end + 1, begin)))
+            elif begin <= prev_end:           # overlap
+                # Frames [begin, prev_end] are owned twice; drop the later
+                # clip, regenerate its whole range, and keep checking the
+                # following clips against the clip we kept.
                 issues.append(ClipIssue("continuity", name,
-                                        (end_inclusive + 1, next_begin)))
+                                        (begin, end_inclusive + 1)))
+                if remove_bad:
+                    os.remove(path)
+                continue
+        prev_name, prev_end = name, end_inclusive
     return issues

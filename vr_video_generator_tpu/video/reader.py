@@ -4,9 +4,16 @@ Parity surface: the reference decodes with ``cv2.VideoCapture`` + frame seek
 (reference SupportFunction.py:170-177) and probes duration via ffprobe
 (:43-49). Backends here:
 
-  * cv2 (always available, frame-accurate seek) — default;
-  * ffmpeg rawvideo stdout pipe — higher throughput for 4K sources, used
-    when an ffmpeg binary is discoverable.
+  * cv2 (always available, frame-accurate seek);
+  * ffmpeg rawvideo stdout pipe — higher throughput for 4K sources.
+    Frame-exact at any start: seeking uses a ``select=gte(n\\,begin)``
+    filter (decode-and-discard by decode-order frame number), never a
+    timestamp ``-ss``, so the subclip/repair frame contract holds for
+    arbitrary GOP structures.
+
+``backend="auto"`` picks ffmpeg when a binary is discoverable and the read
+starts at frame 0 (pure streaming — no seek cost); otherwise cv2, whose
+native seek beats ffmpeg's decode-and-discard for deep starts.
 
 Frames are delivered as RGB uint8 HWC (the reference decodes BGR and swaps
 channels at PredictAndGenerate.py:227-231; we swap once at the decode
@@ -73,6 +80,13 @@ def get_length(path: str) -> float:
     return frames / fps if fps else 0.0
 
 
+def pick_auto_backend(begin: int, ffmpeg_path: Optional[str]) -> str:
+    """Backend policy for ``backend="auto"``: ffmpeg only for begin=0
+    streaming (its frame-exact seek is decode-and-discard, so cv2's native
+    seek wins for mid-video starts)."""
+    return "ffmpeg" if ffmpeg_path and begin == 0 else "cv2"
+
+
 class VideoReader:
     """Sequential RGB frame reader starting at an arbitrary frame index."""
 
@@ -82,7 +96,7 @@ class VideoReader:
         self._proc = None
         self._cap = None
         if backend == "auto":
-            backend = "cv2"
+            backend = pick_auto_backend(begin, find_binary("ffmpeg"))
         self.backend = backend
         if backend == "cv2":
             self._cap = cv2.VideoCapture(path)
@@ -92,10 +106,14 @@ class VideoReader:
             ffmpeg = find_binary("ffmpeg")
             if not ffmpeg:
                 raise RuntimeError("ffmpeg binary not found for ffmpeg backend")
-            args = [ffmpeg, "-v", "error"]
+            args = [ffmpeg, "-v", "error", "-i", path]
             if begin:
-                args += ["-ss", f"{begin / self.fps:.6f}"]
-            args += ["-i", path, "-f", "rawvideo", "-pix_fmt", "rgb24", "-"]
+                # Frame-exact seek: a timestamp -ss lands on GOP-dependent
+                # frames (reference seeks frame-exactly via cv2,
+                # SupportFunction.py:170-177); select on the decode-order
+                # frame counter instead. Dropped frames never cross the pipe.
+                args += ["-vf", f"select=gte(n\\,{begin})", "-vsync", "0"]
+            args += ["-f", "rawvideo", "-pix_fmt", "rgb24", "-"]
             self._proc = subprocess.Popen(args, stdout=subprocess.PIPE,
                                           bufsize=self.width * self.height * 3 * 4)
         else:
