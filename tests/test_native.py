@@ -65,3 +65,74 @@ def test_frame_ring(rng):
     for a, b in zip(seen, frames):
         np.testing.assert_array_equal(a, b)
     ring.close()
+
+
+def test_reader_native_vs_numpy_decode(tmp_path, monkeypatch, rng):
+    """read_into through the native swizzle must equal the numpy fallback."""
+    import cv2
+
+    from vr_video_generator_tpu.video import reader as reader_mod
+    from vr_video_generator_tpu.video.reader import VideoReader
+
+    path = str(tmp_path / "in.mp4")
+    wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 48))
+    for i in range(8):
+        wr.write(rng.integers(0, 256, (48, 64, 3), dtype=np.uint8))
+    wr.release()
+
+    with VideoReader(path, backend="cv2") as r:
+        native_frames = [f.copy() for f in r.frames(0, 8)]
+    monkeypatch.setattr(reader_mod, "_native_ok", False)
+    with VideoReader(path, backend="cv2") as r:
+        numpy_frames = [f.copy() for f in r.frames(0, 8)]
+    for a, b in zip(native_frames, numpy_frames):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_writer_native_pipe_path(tmp_path, rng):
+    """SubclipWriter's ffmpeg branch writes raw frames through the native
+    write_full fd path; substitute `cat` for the encoder and check bytes."""
+    from vr_video_generator_tpu.video.writer import SubclipWriter
+
+    out = str(tmp_path / "sub") + os.sep
+    frames = [rng.integers(0, 256, (12, 16, 3), dtype=np.uint8) for _ in range(5)]
+    w = SubclipWriter(out, 10.0, 16, 12, backend="ffmpeg",
+                      ffmpeg_config=["sh", "-c", 'cat > "$0"'])
+    path = w.write_clip(0, frames)
+    w.close()
+    assert path.endswith("0_4.mp4")
+    with open(path, "rb") as f:
+        raw = f.read()
+    np.testing.assert_array_equal(
+        np.frombuffer(raw, np.uint8), np.stack(frames).reshape(-1))
+
+
+def test_decode_batches_native_staging(tmp_path, rng):
+    """The segment decode thread fills contiguous staging buffers equal to
+    the per-frame reader output (native read_into path end-to-end)."""
+    import cv2
+    import queue
+
+    from vr_video_generator_tpu.runtime.segment import _decode_batches
+    from vr_video_generator_tpu.video.reader import VideoReader
+
+    path = str(tmp_path / "in.mp4")
+    wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 48))
+    for i in range(10):
+        wr.write(rng.integers(0, 256, (48, 64, 3), dtype=np.uint8))
+    wr.release()
+
+    with VideoReader(path, backend="cv2") as r:
+        want = np.stack([f for f in r.frames(0, 10)])
+    q = queue.Queue()
+    with VideoReader(path, backend="cv2") as r:
+        _decode_batches(r, 0, 10, 4, q)
+    got = []
+    while True:
+        b = q.get()
+        if b is None:
+            break
+        assert b.flags.c_contiguous
+        got.append(b)
+    assert [b.shape[0] for b in got] == [4, 4, 2]
+    np.testing.assert_array_equal(np.concatenate(got), want)

@@ -32,15 +32,22 @@ from vr_video_generator_tpu.video.writer import SubclipWriter
 
 def _decode_batches(reader: VideoReader, begin: int, end: int,
                     batch_size: int, out_q: "queue.Queue") -> None:
-    batch: List[np.ndarray] = []
+    """Decode frames [begin, end) into contiguous (batch, H, W, 3) staging
+    buffers. Each frame is decoded straight into its batch row
+    (VideoReader.read_into — native GIL-free swizzle/pipe-read when the C++
+    tier is built), so there is no per-frame allocation or np.stack gather.
+    """
+    h, w = reader.height, reader.width
     try:
-        for frame in reader.frames(begin, end):
-            batch.append(frame)
-            if len(batch) == batch_size:
-                out_q.put(np.stack(batch))
-                batch = []
-        if batch:
-            out_q.put(np.stack(batch))
+        i = begin
+        while i < end:
+            n = min(batch_size, end - i)
+            batch = np.empty((n, h, w, 3), np.uint8)
+            for k in range(n):
+                if not reader.read_into(batch[k]):
+                    batch[k] = 0  # black frame on decode failure (ref :222-225)
+            out_q.put(batch)
+            i += n
     finally:
         out_q.put(None)
 

@@ -30,6 +30,20 @@ from typing import Iterator, Optional, Tuple
 import cv2
 import numpy as np
 
+from vr_video_generator_tpu import native
+
+# Native host-I/O tier (C++, GIL-free): builds on first use; falls back to
+# numpy when no toolchain exists. Resolved lazily so importing this module
+# never triggers a compile.
+_native_ok: Optional[bool] = None
+
+
+def native_available() -> bool:
+    global _native_ok
+    if _native_ok is None:
+        _native_ok = native.available()
+    return _native_ok
+
 
 def find_binary(name: str) -> Optional[str]:
     """Locate ffmpeg/ffprobe: env override, vendored ./ffmpeg dir (the
@@ -122,15 +136,32 @@ class VideoReader:
     def read(self) -> Optional[np.ndarray]:
         """Next RGB uint8 frame, or None on decode failure / EOF (the caller
         substitutes black frames, matching reference :222-225)."""
+        out = np.empty((self.height, self.width, 3), np.uint8)
+        return out if self.read_into(out) else None
+
+    def read_into(self, out: np.ndarray) -> bool:
+        """Decode the next frame directly into a preallocated (H, W, 3) uint8
+        buffer (e.g. one row of the device_put staging batch) — the zero-copy
+        host path. Uses the native tier (GIL-free read_full / bgr_to_rgb)
+        when available. Returns False on decode failure / EOF."""
         if self._cap is not None:
             ok, bgr = self._cap.read()
             if not ok or bgr is None:
-                return None
-            return np.ascontiguousarray(bgr[:, :, ::-1])
-        raw = self._proc.stdout.read(self.width * self.height * 3)
-        if len(raw) < self.width * self.height * 3:
-            return None
-        return np.frombuffer(raw, np.uint8).reshape(self.height, self.width, 3)
+                return False
+            if native_available() and bgr.flags.c_contiguous and out.flags.c_contiguous:
+                native.bgr_to_rgb(bgr, out)
+            else:
+                out[:] = bgr[:, :, ::-1]
+            return True
+        n = self.width * self.height * 3
+        if native_available() and out.flags.c_contiguous:
+            got = native.read_full(self._proc.stdout.fileno(), out.reshape(-1))
+            return got == n
+        raw = self._proc.stdout.read(n)
+        if len(raw) < n:
+            return False
+        out.reshape(-1)[:] = np.frombuffer(raw, np.uint8)
+        return True
 
     def frames(self, begin: int, end: int) -> Iterator[np.ndarray]:
         """Frames [begin, end): decode failures become black frames."""

@@ -22,7 +22,9 @@ from typing import List, Optional, Sequence
 import cv2
 import numpy as np
 
-from vr_video_generator_tpu.video.reader import find_binary, probe_video
+from vr_video_generator_tpu import native
+from vr_video_generator_tpu.video.reader import (find_binary, native_available,
+                                                 probe_video)
 
 
 def get_ffmpeg_config(video_path: str, device: str = "cpu") -> tuple[int, list]:
@@ -88,8 +90,17 @@ class SubclipWriter:
                           "-b:v", "5M", "-maxrate", "10M", "-bufsize", "20M"]
             proc = subprocess.Popen(config + [path], stdin=subprocess.PIPE,
                                     stderr=subprocess.DEVNULL)
-            for frame in frames:
-                proc.stdin.write(np.ascontiguousarray(frame).tobytes())
+            if native_available():
+                # GIL-free EINTR-safe fd writes; frames coming off the device
+                # readback are contiguous batch rows, so this path is
+                # zero-copy (no .tobytes() allocation per frame).
+                fd = proc.stdin.fileno()
+                for frame in frames:
+                    if native.write_full(fd, frame) < 0:
+                        raise BrokenPipeError(f"encoder pipe write failed: {path}")
+            else:
+                for frame in frames:
+                    proc.stdin.write(np.ascontiguousarray(frame).tobytes())
             proc.stdin.close()
             self._procs.append(proc)
         else:
