@@ -4,9 +4,15 @@
 Reference side = the upstream PyTorch Depth-Anything-V2 (imported read-only
 from /root/reference, CPU fp32) + the numpy oracle port of SbsProcessor
 (tests/oracle/warp_oracle.py). Our side = the full jitted pipeline with
-converted weights. Reports per-frame mean/max absolute pixel difference
-(normalized to [0,1]) and the mismatch fraction — the 1e-2 per-pixel gate of
-the rebuild's north star (BASELINE.md).
+converted weights.
+
+Gate (the north star's 1e-2 PER-PIXEL tolerance, BASELINE.md): a frame
+passes when the fraction of pixels deviating by more than ``--gate``
+(normalized to [0,1]) is at most ``--frac_budget``. Mean and max abs diff
+are reported alongside. A pure mean gate (the round-1 criterion) could hide
+a localized warp bug; a strict max gate is meaningless for this algorithm —
+a 1-ulp depth difference at a plane-quantization boundary legitimately
+shifts single pixels by a whole plane offset.
 
 With --encoder_path pointing at a real .pth both sides use real weights;
 without it, seeded random torch weights are converted so the comparison
@@ -15,6 +21,7 @@ still exercises every numerical path.
 Usage:
     python scripts/parity_report.py --video in.mp4 [--frames 8]
         [--encoder vits --encoder_path ckpt.pth] [--input_size 518]
+        [--device cpu|tpu] [--compute_dtype float32|bfloat16]
 """
 
 import argparse
@@ -33,13 +40,21 @@ def main() -> int:
     parser.add_argument("--encoder", default="vits")
     parser.add_argument("--encoder_path", default=None)
     parser.add_argument("--input_size", type=int, default=518)
-    parser.add_argument("--gate", type=float, default=1e-2)
+    parser.add_argument("--gate", type=float, default=1e-2,
+                        help="per-pixel abs-diff tolerance in [0,1]")
+    parser.add_argument("--frac_budget", type=float, default=1e-3,
+                        help="max fraction of pixels allowed over --gate")
+    parser.add_argument("--device", choices=["cpu", "tpu"], default="cpu",
+                        help="where OUR pipeline runs (reference is CPU fp32)")
+    parser.add_argument("--compute_dtype", default="float32",
+                        choices=["float32", "bfloat16"])
     args = parser.parse_args()
 
     import torch
 
     import jax
-    jax.config.update("jax_platforms", "cpu")  # fp32 apples-to-apples
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")  # fp32 apples-to-apples
     import jax.numpy as jnp
 
     from tests.oracle.warp_oracle import OracleSbs
@@ -60,9 +75,11 @@ def main() -> int:
         tmodel.load_state_dict(torch.load(args.encoder_path, map_location="cpu",
                                           weights_only=True))
         tmodel = tmodel.eval()
+        weights = f"real:{os.path.basename(args.encoder_path)}"
     else:
         print("note: no checkpoint given — using seeded random weights")
         tmodel = build_torch_model(args.encoder)
+        weights = "seeded-random"
 
     cfg = ModelConfig.for_encoder(args.encoder)
     params = convert_state_dict(tmodel.state_dict(), cfg)
@@ -73,12 +90,16 @@ def main() -> int:
     frames = np.stack(frames)
     h, w = frames.shape[1:3]
 
+    model_dtype = jnp.float32 if args.compute_dtype == "float32" else jnp.bfloat16
     run_cfg = RunConfig(batch_size=len(frames), input_size=args.input_size,
-                        compute_dtype="float32", encoder=args.encoder)
-    jmodel = DepthAnythingV2(cfg, dtype=jnp.float32)
+                        compute_dtype=args.compute_dtype, encoder=args.encoder)
+    jmodel = DepthAnythingV2(cfg, dtype=model_dtype)
     pipe = SbsPipeline(jmodel, params, h, w, run_cfg=run_cfg)
     ours, _ = pipe.step(frames, pipe.initial_state())
     ours = np.asarray(ours)
+    print(f"ours: device={jax.devices()[0].platform} dtype={args.compute_dtype} "
+          f"weights={weights} encoder={args.encoder} {w}x{h} "
+          f"input_size={args.input_size}")
 
     oracle = OracleSbs()
     worst_mean = worst_max = worst_frac = 0.0
@@ -88,16 +109,17 @@ def main() -> int:
                                        input_size=args.input_size) * scaler
         ref = oracle.process(frame, depth)
         diff = np.abs(ours[i].astype(np.float64) - ref.astype(np.float64)) / 255.0
-        frac = (diff > 0).mean()
+        frac = (diff > args.gate).mean()
         print(f"frame {i}: mean={diff.mean():.5f} max={diff.max():.3f} "
-              f"mismatch_frac={frac:.5f}")
+              f"frac_over_gate={frac:.6f}")
         worst_mean = max(worst_mean, diff.mean())
         worst_max = max(worst_max, diff.max())
         worst_frac = max(worst_frac, frac)
 
-    ok = worst_mean <= args.gate
-    print(f"RESULT: worst mean abs diff {worst_mean:.5f} "
-          f"({'PASS' if ok else 'FAIL'} vs gate {args.gate})")
+    ok = worst_frac <= args.frac_budget and worst_mean <= args.gate
+    print(f"RESULT: worst frac(|diff|>{args.gate}) = {worst_frac:.6f} "
+          f"(budget {args.frac_budget}), worst mean = {worst_mean:.5f}, "
+          f"worst max = {worst_max:.3f} -> {'PASS' if ok else 'FAIL'}")
     return 0 if ok else 1
 
 

@@ -85,3 +85,40 @@ def test_multihost_helpers_single_process():
     initialize()  # no-op on single host
     mesh = make_global_mesh((4, 2))
     assert local_data_slots(mesh) == [0, 1, 2, 3]
+
+
+def test_pallas_warp_batch_under_shard_map(rng):
+    """The fused batched pallas warp must run per data slot inside shard_map
+    (interpret mode on CPU) and agree with the single-device xla path —
+    multi-chip keeps the single-chip kernel stack."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    from tests.test_warp import synth_depth, synth_img
+    from tests.test_warp import H as WH, W as WW
+    from vr_video_generator_tpu.ops.warp import WarpSpec
+    from vr_video_generator_tpu.parallel.sharded import _local_warp
+    from vr_video_generator_tpu.utils.config import StereoConfig
+
+    n_data, b = 4, 2
+    mesh = make_mesh((n_data, 2))
+    cfg = StereoConfig().normalized()
+    spec_pl = WarpSpec.create(WH, WW, cfg, impl="pallas")
+    spec_xla = WarpSpec.create(WH, WW, cfg, impl="xla")
+
+    imgs = np.stack([synth_img(rng) for _ in range(n_data * b)])
+    depths = np.stack([synth_depth(rng) for _ in range(n_data * b)])
+    ranges = np.stack([
+        np.asarray(spec_xla.frame_offset_range(jnp.asarray(d))) for d in depths])
+
+    sharded_fn = jax.jit(jax.shard_map(
+        functools.partial(_local_warp, spec=spec_pl, interpret=True),
+        mesh=mesh, in_specs=(P("data"), P("data"), P("data")),
+        out_specs=P("data"), check_vma=False))
+    got = np.asarray(sharded_fn(jnp.asarray(imgs), jnp.asarray(depths),
+                                jnp.asarray(ranges)))
+    want = np.asarray(spec_xla.warp_batch(jnp.asarray(imgs),
+                                          jnp.asarray(depths),
+                                          jnp.asarray(ranges)))
+    np.testing.assert_array_equal(got, want)

@@ -107,11 +107,19 @@ class ShardedSbsPipeline:
             out_specs=(P("data"), P("data"), _state_specs()),
         )(depth.reshape(d, b, h, w), states)
 
-        # NOTE: under a mesh the batched-pallas blur kernel's manual-DMA grid
-        # does not partition; keep the vmapped per-frame path (XLA partitions
-        # the batch axis), with pallas compositing inside each frame.
-        sbs = jax.vmap(self.spec.warp)(
-            frames_u8, blended.reshape(n, h, w), ranges.reshape(n, 2))
+        # Warp runs under shard_map so each data slot invokes the full
+        # single-chip kernel stack (batched pallas compositor + fused blur)
+        # on its local batch — the manual-DMA blur grid never needs to
+        # partition because it only ever sees per-device shapes. Unmentioned
+        # mesh axes (model) see replicated inputs and deterministic compute,
+        # so outputs stay replicated.
+        # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+        # info, so the replication checker cannot run across the kernel.
+        sbs = jax.shard_map(
+            functools.partial(_local_warp, spec=self.spec), mesh=self.mesh,
+            in_specs=(P("data"), P("data"), P("data")), out_specs=P("data"),
+            check_vma=False,
+        )(frames_u8, blended.reshape(n, h, w), ranges.reshape(n, 2))
         return sbs, states
 
     def step(self, frames_u8, states: TemporalState):
@@ -134,6 +142,14 @@ class ShardedSbsPipeline:
 def _state_specs() -> TemporalState:
     return TemporalState(d_prev1=P("data"), d_prev2=P("data"),
                          offset_range=P("data"), has_state=P("data"))
+
+
+def _local_warp(frames_local, blended_local, ranges_local, *, spec: WarpSpec,
+                interpret: bool = False):
+    """Body run per data shard: the slot's (B, H, W, 3) frames through the
+    batched warp — identical kernels to the single-chip path."""
+    return spec.warp_batch(frames_local, blended_local, ranges_local,
+                           interpret=interpret)
 
 
 def _local_temporal_scan(depth_local, state_local: TemporalState, *,
