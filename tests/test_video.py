@@ -131,6 +131,41 @@ def test_ffmpeg_backend_frame_exact_seek(tmp_path):
         assert np.mean(np.abs(a.astype(int) - b.astype(int))) < 2.0
 
 
+def test_nvenc_argv_parity(tmp_path):
+    """--encoder_device nvidia argv must match the reference's hevc_nvenc
+    flag set (reference SupportFunction.py:202-215) and the cpu path its
+    libopenh264 ladder (:197-201), around the same rawvideo-stdin prefix."""
+    from vr_video_generator_tpu.video.writer import get_ffmpeg_config
+
+    path = tmp_path / "in.mp4"
+    write_synthetic_video(path, 4)
+
+    n, cpu = get_ffmpeg_config(str(path), device="cpu")
+    assert n == 4
+    # common prefix: rawvideo rgb24 stdin at DOUBLE width, -an, yuv420p
+    def has_pair(argv, a, b):
+        return any(argv[i] == a and argv[i + 1] == b
+                   for i in range(len(argv) - 1))
+
+    for a, b in (("-f", "rawvideo"), ("-vcodec", "rawvideo"),
+                 ("-pix_fmt", "rgb24"), ("-s", f"{2 * W}x{H}"),
+                 ("-i", "-"), ("-pix_fmt", "yuv420p")):
+        assert has_pair(cpu, a, b), (a, b)
+    assert "-an" in cpu
+    i = cpu.index("-c:v")
+    assert cpu[i:i + 2] == ["-c:v", "libopenh264"]
+    assert cpu[cpu.index("-b:v"):][:6] == ["-b:v", "5M", "-maxrate", "10M",
+                                           "-bufsize", "20M"]
+
+    _, nv = get_ffmpeg_config(str(path), device="nvidia")
+    i = nv.index("-c:v")
+    # exact flag/value pairs from the reference nvidia branch, same order
+    assert nv[i:] == ["-c:v", "hevc_nvenc", "-cq", "29", "-rc", "vbr",
+                      "-preset", "p7", "-multipass", "0", "-tune", "5"]
+    # the encoder branch is the ONLY difference between the two argvs
+    assert nv[:i] == cpu[:cpu.index("-c:v")]
+
+
 def test_combine_clips_cv2_fallback(tmp_path, monkeypatch):
     # force the no-ffmpeg fallback regardless of host
     monkeypatch.setenv("PATH", "")
