@@ -92,6 +92,46 @@ def test_head_tail_ext_parity(h0, w0, c, c2, c3):
                                rtol=0, atol=5e-4)
 
 
+@pytest.mark.parametrize("h0,w0,c,c2,c3", [
+    (36, 64, 256, 128, 32),   # vitl channel widths (126x224-net geometry)
+    (20, 32, 64, 32, 16),     # small C through the same two-kernel path
+])
+def test_head_tail_big_parity(h0, w0, c, c2, c3):
+    """Big-C two-kernel tail (front: upsample+folded out_conv+conv1+W-resize;
+    back: H-resize+conv2+1x1) vs the XLA ext chain."""
+    from vr_video_generator_tpu.ops.head_tail_pallas import (
+        big_pick_plan, head_tail_big_pallas)
+
+    rng = np.random.default_rng(23)
+    h1, w1 = h0 * 2 * 14 // 8, w0 * 2 * 14 // 8
+    x = jnp.asarray(rng.standard_normal((2, h0, w0, c)) * 0.1, jnp.float32)
+    k_oc = jnp.asarray(rng.standard_normal((1, 1, c, c)) * 0.1, jnp.float32)
+    b_oc = jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)
+    (_, k1, b1, k2, b2, k3, b3, _) = _make_case(rng, 1, 8, 8, c, c2, c3)
+    want = xla_tail_ext(x, k_oc, b_oc, k1, b1, k2, b2, k3, b3, (h1, w1))
+    got = head_tail_big_pallas(x, k_oc, b_oc, k1, b1, k2, b2, k3, b3,
+                               (h1, w1), interpret=True)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=5e-4)
+
+
+def test_big_plan_covers_vitl():
+    """The planner must produce a plan for vitl's real deployment geometry
+    (518x924 net input, C=256) in bf16 — the case ext_pick_block_rows bails
+    on (VERDICT weak #6)."""
+    from vr_video_generator_tpu.ops.head_tail_pallas import (
+        big_pick_plan, ext_pick_block_rows)
+
+    shape = (4, 148, 264, 256)  # rn[0] space at 518x924, vitl feats
+    out_hw = (518, 924)
+    assert ext_pick_block_rows(shape, 128, jnp.bfloat16, out_hw) is None
+    plan = big_pick_plan(shape, 128, jnp.bfloat16, out_hw)
+    assert plan is not None
+    rm, a0, r, a = plan
+    assert rm % 4 == 0 and a0 % 4 == 0 and r % 4 == 0 and a % 4 == 0
+
+
 def xla_rcu_pair(rn0, path2, k1a, b1a, k2a, b2a, k1b, b1b, k2b, b2b):
     """Mirror of refinenet1's rcu1+rcu2 chain (util/blocks.py:29-141)."""
     dn = ("NHWC", "HWIO", "NHWC")

@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 
 from vr_video_generator_tpu.ops.head_tail_pallas import (
-    ext_pick_block_rows, head_tail_ext_pallas)
+    big_pick_plan, ext_pick_block_rows, head_tail_big_pallas,
+    head_tail_ext_pallas)
 from vr_video_generator_tpu.ops.resize import resize_bilinear
 from vr_video_generator_tpu.utils.config import ModelConfig
 
@@ -199,9 +200,14 @@ class DPTHead(nn.Module):
         pre_shape = (out[0].shape[0], rn[0].shape[1], rn[0].shape[2], feats)
         fuse = self.tail == "fused" or (
             self.tail == "auto" and jax.default_backend() == "tpu")
+        big = None
         if fuse and ext_pick_block_rows(pre_shape, feats // 2, self.dtype,
                                         out_hw) is None:
-            fuse = False  # e.g. vitl: 256-channel rows blow the VMEM plan
+            # vitl: 256-channel rows blow the single-kernel VMEM plan; fall
+            # back to the two-kernel big-C tail, then to XLA.
+            big = big_pick_plan(pre_shape, feats // 2, self.dtype, out_hw)
+            if big is None:
+                fuse = False
 
         if fuse:
             # NOTE: a fused rcu1/rcu2 kernel exists (refinenet_pre_pallas +
@@ -214,6 +220,10 @@ class DPTHead(nn.Module):
             k1, b1 = _ConvParams(feats // 2, feats, name="output_conv1")()
             k2, b2 = _ConvParams(32, feats // 2, name="output_conv2_0")()
             k3, b3 = _ConvParams(1, 32, (1, 1), name="output_conv2_2")()
+            if big is not None:
+                return head_tail_big_pallas(pre.astype(self.dtype), oc_k, oc_b,
+                                            k1, b1, k2, b2, k3, b3, out_hw,
+                                            plan=big)
             return head_tail_ext_pallas(pre.astype(self.dtype), oc_k, oc_b,
                                         k1, b1, k2, b2, k3, b3, out_hw)
 
