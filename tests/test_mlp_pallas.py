@@ -1,0 +1,80 @@
+"""Fused MLP half-block kernel (ops/mlp_pallas.py) parity tests.
+
+Checks the one-kernel LN+fc1+GELU+fc2+LayerScale+residual against the exact
+unfused composition (mirroring dinov2_layers/block.py:91-107 inference math)
+in Pallas interpret mode, and that Block's fused dispatch produces the same
+result and the same param tree as the unfused path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vr_video_generator_tpu.ops.mlp_pallas import (mlp_residual_pallas,
+                                                   mlp_residual_ref)
+
+
+def _case(rng, m, d, hidden, dtype):
+    x = jnp.asarray(rng.standard_normal((m, d)) * 0.5, dtype)
+    p = dict(
+        ln_scale=jnp.asarray(1.0 + 0.1 * rng.standard_normal(d), jnp.float32),
+        ln_bias=jnp.asarray(0.1 * rng.standard_normal(d), jnp.float32),
+        w1=jnp.asarray(rng.standard_normal((d, hidden)) * 0.05, jnp.float32),
+        b1=jnp.asarray(0.1 * rng.standard_normal(hidden), jnp.float32),
+        w2=jnp.asarray(rng.standard_normal((hidden, d)) * 0.05, jnp.float32),
+        b2=jnp.asarray(0.1 * rng.standard_normal(d), jnp.float32),
+        gamma=jnp.asarray(1.0 + 0.1 * rng.standard_normal(d), jnp.float32),
+    )
+    return x, p
+
+
+@pytest.mark.parametrize("m,d,hidden,approx", [
+    (600, 128, 512, False),   # uneven M -> padded rows exercised
+    (512, 384, 1536, False),  # vits geometry, multiple h blocks
+    (256, 128, 384, True),    # tanh mode, block_h > hidden clamp
+])
+def test_mlp_residual_parity_f32(m, d, hidden, approx):
+    rng = np.random.default_rng(5)
+    x, p = _case(rng, m, d, hidden, jnp.float32)
+    want = mlp_residual_ref(x, **p, approx=approx)
+    got = mlp_residual_pallas(x, **p, approx=approx, block_m=256, block_h=256,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=2e-5)
+
+
+def test_mlp_residual_parity_bf16():
+    rng = np.random.default_rng(7)
+    x, p = _case(rng, 300, 256, 1024, jnp.bfloat16)
+    want = mlp_residual_ref(x, **p)
+    got = mlp_residual_pallas(x, **p, block_m=128, block_h=512,
+                              interpret=True)
+    # same rounding points, but the erf's f32 exp can land 1 ulp apart
+    # between in-kernel and XLA evaluation; through fc2 that accumulates to
+    # a few bf16 ulps on ~2.0-magnitude outputs (measured max 0.047).
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=0, atol=6e-2)
+
+
+def test_block_fused_matches_unfused_and_tree():
+    """Block(mlp_fused='fused', interpret via CPU pallas) == Block('xla'),
+    with an identical parameter tree."""
+    from vr_video_generator_tpu.models.dinov2 import Block
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 40, 128)) * 0.5, jnp.float32)
+
+    blk_x = Block(dim=128, num_heads=2, mlp_ratio=4.0, mlp_fused="xla")
+    blk_f = Block(dim=128, num_heads=2, mlp_ratio=4.0, mlp_fused="fused")
+    params = blk_x.init(jax.random.PRNGKey(0), x)["params"]
+    tree_x = jax.tree_util.tree_structure(params)
+    tree_f = jax.tree_util.tree_structure(
+        blk_f.init(jax.random.PRNGKey(0), x)["params"])
+    assert tree_x == tree_f
+
+    want = blk_x.apply({"params": params}, x)
+    got = blk_f.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=3e-5)

@@ -125,12 +125,71 @@ class LayerScale(nn.Module):
         return x * gamma.astype(self.dtype)
 
 
+class _DenseParams(nn.Module):
+    """nn.Dense-shaped params (kernel (in, out) + bias) without the compute —
+    consumed by the fused MLP half-block kernel while keeping the checkpoint
+    tree identical to the unfused path."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.in_features, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
+class _MlpParams(nn.Module):
+    """Param tree of Mlp (fc1+fc2) without the compute."""
+
+    hidden_dim: int
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        k1, b1 = _DenseParams(self.hidden_dim, self.dim, name="fc1")()
+        k2, b2 = _DenseParams(self.dim, self.hidden_dim, name="fc2")()
+        return k1, b1, k2, b2
+
+
+class _LNParams(nn.Module):
+    """Param tree of LayerNorm ({scale, bias}) without the compute."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,),
+                          jnp.float32)
+        return scale, bias
+
+
+class _LSParams(nn.Module):
+    """Param tree of LayerScale ({gamma}) without the compute."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("gamma", nn.initializers.ones, (self.dim,),
+                          jnp.float32)
+
+
 class Block(nn.Module):
     """Pre-norm transformer block — reference dinov2_layers/block.py:36-107.
 
     Inference path only (x + ls1(attn(norm1 x)); x + ls2(mlp(norm2 x))); the
     reference's stochastic-depth branches are train-only and Depth-Anything-V2
     runs the encoder frozen.
+
+    ``mlp_fused``: "auto" runs the whole second half (norm2 + Mlp + ls2 +
+    residual) as one Pallas kernel on TPU backends (ops/mlp_pallas.py) —
+    identical param tree, same rounding points; "xla"/"fused" force a path.
     """
 
     dim: int
@@ -139,12 +198,25 @@ class Block(nn.Module):
     ffn_layer: str = "mlp"
     dtype: Dtype = jnp.float32
     gelu_approx: bool = False
+    mlp_fused: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from vr_video_generator_tpu.ops.mlp_pallas import mlp_residual_pallas
+
         h = LayerNorm(self.dim, dtype=self.dtype, name="norm1")(x)
         h = Attention(self.num_heads, dtype=self.dtype, name="attn")(h)
         x = x + LayerScale(self.dim, dtype=self.dtype, name="ls1")(h)
+        fuse = self.ffn_layer == "mlp" and self.dim % 128 == 0 and (
+            self.mlp_fused == "fused"
+            or (self.mlp_fused == "auto" and jax.default_backend() == "tpu"))
+        if fuse:
+            lnw, lnb = _LNParams(self.dim, name="norm2")()
+            k1, b1, k2, b2 = _MlpParams(int(self.dim * self.mlp_ratio),
+                                        self.dim, name="mlp")()
+            gamma = _LSParams(self.dim, name="ls2")()
+            return mlp_residual_pallas(x, lnw, lnb, k1, b1, k2, b2, gamma,
+                                       approx=self.gelu_approx)
         h = LayerNorm(self.dim, dtype=self.dtype, name="norm2")(x)
         if self.ffn_layer == "swiglufused":
             h = SwiGLUFFN(int(self.dim * self.mlp_ratio), self.dim,
