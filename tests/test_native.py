@@ -136,3 +136,16 @@ def test_decode_batches_native_staging(tmp_path, rng):
         got.append(b)
     assert [b.shape[0] for b in got] == [4, 4, 2]
     np.testing.assert_array_equal(np.concatenate(got), want)
+
+
+def test_native_unpack_sbs_matches_np():
+    import numpy as np
+    import pytest
+    from vr_video_generator_tpu import native
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(5)
+    packed = rng.integers(0, 1 << 24, (17, 130), dtype=np.uint32)
+    got = native.unpack_sbs(packed)
+    np.testing.assert_array_equal(got, native.unpack_sbs_np(packed))

@@ -90,3 +90,50 @@ def test_warp_batch_pallas_matches_xla(rng):
     out = _np.asarray(spec_p.warp_batch(jnp.asarray(imgs), blended, ranges,
                                         interpret=True))
     _np.testing.assert_array_equal(out, ref)
+
+
+def test_warp_batch_packed_sbs_matches_u8(rng=None):
+    """emit='packed' (edge-copy + SBS concat fused into the blur kernel,
+    reference PredictAndGenerate.py:184-197) unpacks to exactly the u8 path."""
+    import numpy as _np
+    from vr_video_generator_tpu.native import unpack_sbs_np
+    from vr_video_generator_tpu.ops.temporal import TemporalState, temporal_scan
+
+    cfg = StereoConfig().normalized()
+    spec = WarpSpec.create(H, W, cfg, impl="pallas")
+    rng = _np.random.default_rng(17)
+    imgs = _np.stack([synth_img(rng) for _ in range(2)])
+    depths = _np.stack([synth_depth(rng, tmax=4.0 + 3 * i) for i in range(2)])
+    state = TemporalState.initial(H, W)
+    blended, ranges, _ = temporal_scan(jnp.asarray(depths), state, spec)
+
+    ref = _np.asarray(spec.warp_batch(jnp.asarray(imgs), blended, ranges,
+                                      interpret=True))
+    packed = _np.asarray(spec.warp_batch(jnp.asarray(imgs), blended, ranges,
+                                         emit="packed", interpret=True))
+    assert packed.dtype == _np.uint32 and packed.shape == ref.shape[:3]
+    _np.testing.assert_array_equal(unpack_sbs_np(packed), ref)
+
+
+def test_writer_accepts_packed_frames(tmp_path):
+    """SubclipWriter transparently unpacks packed-uint32 SBS frames."""
+    import cv2
+    import numpy as _np
+    from vr_video_generator_tpu.native import unpack_sbs_np
+    from vr_video_generator_tpu.video.writer import SubclipWriter
+
+    rng = _np.random.default_rng(3)
+    u8 = rng.integers(0, 255, (4, 32, 64, 3), dtype=_np.uint8)
+    packed = (u8[..., 0].astype(_np.uint32)
+              | (u8[..., 1].astype(_np.uint32) << 8)
+              | (u8[..., 2].astype(_np.uint32) << 16))
+    _np.testing.assert_array_equal(unpack_sbs_np(packed), u8)
+
+    w = SubclipWriter(str(tmp_path), fps=10, width=64, height=32,
+                      backend="cv2")
+    path = w.write_clip(0, list(packed))
+    w.close()
+    cap = cv2.VideoCapture(path)
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 4
+    ok, frame = cap.read()
+    assert ok and frame.shape == (32, 64, 3)

@@ -39,6 +39,29 @@ def bgr_to_rgb(src: np.ndarray, out: Optional[np.ndarray] = None) -> np.ndarray:
     return out
 
 
+def unpack_sbs(src: np.ndarray, out: Optional[np.ndarray] = None) -> np.ndarray:
+    """Packed-uint32 SBS (..., W) (r|g<<8|b<<16) -> rgb24 uint8 (..., W, 3).
+
+    Host half of the device's packed SBS output (ops/warp_pallas
+    blur_select_sbs_pallas); auto-vectorized byte strip, GIL-free.
+    """
+    from vr_video_generator_tpu.native.build import load
+
+    lib = load()
+    src = np.ascontiguousarray(src, np.uint32)
+    if out is None:
+        out = np.empty((*src.shape, 3), np.uint8)
+    lib.u32_to_rgb24(src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                     _as_u8p(out), src.size)
+    return out
+
+
+def unpack_sbs_np(src: np.ndarray) -> np.ndarray:
+    """Numpy fallback of unpack_sbs (no native library needed)."""
+    src = np.ascontiguousarray(src, np.uint32)
+    return src.view(np.uint8).reshape(*src.shape, 4)[..., :3]
+
+
 def pack_batch(frames, out: Optional[np.ndarray] = None) -> np.ndarray:
     """Gather a list of equal-shape uint8 frames into one contiguous batch."""
     from vr_video_generator_tpu.native.build import load

@@ -45,6 +45,8 @@ def load() -> ctypes.CDLL:
     lib.pack_batch.restype = None
     lib.pack_batch.argtypes = [ctypes.POINTER(u8p), u8p, ctypes.c_long,
                                ctypes.c_long]
+    lib.u32_to_rgb24.restype = None
+    lib.u32_to_rgb24.argtypes = [u8p, u8p, ctypes.c_long]
     lib.ring_create.restype = ctypes.c_void_p
     lib.ring_create.argtypes = [ctypes.c_long, ctypes.c_long]
     lib.ring_destroy.argtypes = [ctypes.c_void_p]

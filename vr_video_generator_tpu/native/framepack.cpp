@@ -63,6 +63,18 @@ void bgr_to_rgb(const uint8_t* src, uint8_t* dst, long n_pixels) {
     }
 }
 
+// Packed-uint32 SBS (r | g<<8 | b<<16, little-endian bytes [r,g,b,x]) ->
+// tightly-packed rgb24. The device emits packed frames (one u32 lane per
+// pixel — the pallas warp/blur kernels' native layout); this strips every
+// 4th byte on the host at memcpy-like speed (auto-vectorized).
+void u32_to_rgb24(const uint8_t* src, uint8_t* dst, long n_pixels) {
+    for (long i = 0; i < n_pixels; ++i) {
+        dst[3 * i] = src[4 * i];
+        dst[3 * i + 1] = src[4 * i + 1];
+        dst[3 * i + 2] = src[4 * i + 2];
+    }
+}
+
 // Copy n_frames source frames (frame_bytes each, given as an array of
 // pointers) into one contiguous batch buffer.
 void pack_batch(const uint8_t* const* frames, uint8_t* batch, long n_frames,

@@ -279,18 +279,21 @@ class WarpSpec:
                           s_neg=self.s_neg, s_pos=self.s_pos)
 
     def warp_batch(self, imgs_u8: jnp.ndarray, depths: jnp.ndarray,
-                   offset_ranges: jnp.ndarray,
+                   offset_ranges: jnp.ndarray, emit: str = "u8",
                    interpret: bool = False) -> jnp.ndarray:
         """Batched warp: the pallas impl fuses compositing AND the Gaussian
         hole smoothing into two kernels over the whole batch (the blur
         kernel owns the batch grid, so it cannot sit under vmap); other
-        impls vmap the per-frame path."""
+        impls vmap the per-frame path. ``emit="packed"`` (pallas only)
+        returns (B, H, 2W) packed uint32 SBS instead of uint8 HWC."""
         if self.impl == "pallas":
             from vr_video_generator_tpu.ops.warp_pallas import warp_batch_pallas
 
             return warp_batch_pallas(imgs_u8, depths, offset_ranges, self.cfg,
                                      self.height, self.max_planes,
                                      self.kernel_size, self.cfg.sigma,
-                                     self.s_neg, self.s_pos,
+                                     self.s_neg, self.s_pos, emit=emit,
                                      interpret=interpret)
+        if emit == "packed":
+            raise ValueError("packed SBS output requires the pallas warp")
         return jax.vmap(self.warp)(imgs_u8, depths, offset_ranges)

@@ -93,10 +93,17 @@ def warp_composite_pallas_packed(img_u8: jnp.ndarray, depth: jnp.ndarray,
                                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Like warp_composite_pallas but returns (packed u32 (H, W), covered),
     for fusion with the packed blur/select kernel."""
-    h, w, _ = img_u8.shape
     img32 = img_u8.astype(jnp.uint32)
     packed = img32[..., 0] | (img32[..., 1] << 8) | (img32[..., 2] << 16)
+    return _composite_prepacked(packed, depth, st, s_neg, s_pos,
+                                block_rows=block_rows, interpret=interpret)
 
+
+def _composite_prepacked(packed: jnp.ndarray, depth: jnp.ndarray,
+                         st: ShiftTables, s_neg: int, s_pos: int,
+                         block_rows: int = 32, interpret: bool = False
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    h, w = packed.shape
     # Shape the shift tables (1, S_pad) with a lane-aligned minor dim: under
     # vmap the batched SMEM arrays become (B, 1, S_pad) and each program's
     # block is the fully-mapped (1, S_pad) — the layout Pallas accepts.
@@ -245,6 +252,109 @@ def blur_select_pallas(composite_packed: jnp.ndarray, covered: jnp.ndarray,
     return out[:, :h, :]
 
 
+def _blur_select_sbs_kernel(edge_ref,                 # SMEM (B, 1) i32
+                            cov_ref, comp_hbm, orig_hbm,
+                            out_ref,                  # VMEM (1, bh, 2W) u32
+                            scratch, hb_s, orig_s, sem, sem2,
+                            *, kxw, kyw, bh: int, w: int, px: int, py: int):
+    """Blur + hole-select + left-edge copy + SBS concat in one pass.
+
+    Emits the full packed SBS row block: lanes [0, W) are the synthesized
+    left eye (reference PredictAndGenerate.py:184-196 — blur-filled holes
+    then the first edge_width columns copied from the original), lanes
+    [W, 2W) are the original right eye (:197). Downstream consumes the
+    packed uint32 frame directly (host-side native unpack to rgb24), so the
+    XLA unpack/where/concat epilogue disappears from the device program.
+    """
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    wr = scratch.shape[0]
+    copy = pltpu.make_async_copy(
+        comp_hbm.at[b, pl.ds(i * bh, wr), :], scratch, sem)
+    copy.start()
+    ocopy = pltpu.make_async_copy(
+        orig_hbm.at[b, pl.ds(i * bh, bh), :], orig_s, sem2)
+    ocopy.start()
+    copy.wait()
+    window = scratch[:bh + 2 * py, :]
+
+    chans_blurred = []
+    for shiftbits in (0, 8, 16):
+        ch = ((window >> shiftbits) & 0xFF).astype(jnp.int32).astype(jnp.float32)
+        hb_s[:, :] = jnp.zeros((bh + 2 * py, w), jnp.float32)
+        for t in range(len(kxw)):
+            hb_s[:, :] = hb_s[:, :] + float(kxw[t]) * ch[:, t:t + w]
+        vb = jnp.zeros((bh, w), jnp.float32)
+        for t in range(len(kyw)):
+            vb = vb + float(kyw[t]) * hb_s[t:t + bh, :]
+        chans_blurred.append(
+            jnp.clip(jnp.round(vb), 0, 255).astype(jnp.int32).astype(jnp.uint32))
+
+    blurred = (chans_blurred[0] | (chans_blurred[1] << 8)
+               | (chans_blurred[2] << 16))
+    center = window[py:py + bh, px:px + w] & jnp.uint32(0x00FFFFFF)
+    covered = cov_ref[0, :, :]
+    ocopy.wait()
+    orig = orig_s[:, :w] & jnp.uint32(0x00FFFFFF)
+    left = jnp.where(covered, center, blurred)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bh, w), 1)
+    left = jnp.where(cols < edge_ref[b, 0], orig, left)
+    out_ref[0, :, :w] = left
+    out_ref[0, :, w:] = orig
+
+
+def blur_select_sbs_pallas(composite_packed: jnp.ndarray,
+                           covered: jnp.ndarray, orig_packed: jnp.ndarray,
+                           edge_width: jnp.ndarray, kernel_size: int,
+                           sigma: float, block_rows: int = 32,
+                           interpret: bool = False) -> jnp.ndarray:
+    """(B, H, W) packed composite + covered + packed original + per-frame
+    edge widths -> (B, H, 2W) packed SBS (left synth | right original)."""
+    from vr_video_generator_tpu.ops.gaussian import gaussian_kernel1d
+
+    bsz, h, w = composite_packed.shape
+    kx, ky = kernel_size * 2 + 3, kernel_size * 2 + 1
+    kxw, kyw = gaussian_kernel1d(kx, sigma), gaussian_kernel1d(ky, sigma)
+    px, py = kx // 2, ky // 2
+
+    nblocks = pl.cdiv(h, block_rows)
+    pad_h = nblocks * block_rows - h
+    w_pad = (-(w + 2 * px)) % 128
+    wr = block_rows + 2 * py + (-(block_rows + 2 * py)) % 8
+    extra_rows = wr - (block_rows + 2 * py)
+    comp_pad = jnp.pad(composite_packed,
+                       ((0, 0), (py, py + pad_h + extra_rows),
+                        (px, px + w_pad)),
+                       mode="reflect")
+    w_op = w + (-w) % 128
+    orig_pad = jnp.pad(orig_packed, ((0, 0), (0, pad_h), (0, w_op - w)))
+
+    kernel = functools.partial(_blur_select_sbs_kernel, kxw=tuple(kxw),
+                               kyw=tuple(kyw), bh=block_rows, w=w, px=px,
+                               py=py)
+    out = pl.pallas_call(
+        kernel,
+        grid=(bsz, nblocks),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((1, block_rows, w), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.HBM),
+                  pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec((1, block_rows, 2 * w), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, nblocks * block_rows, 2 * w),
+                                       jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((wr, w + 2 * px + w_pad), jnp.uint32),
+                        pltpu.VMEM((block_rows + 2 * py, w), jnp.float32),
+                        pltpu.VMEM((block_rows, w_op), jnp.uint32),
+                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.SemaphoreType.DMA(())],
+        interpret=interpret,
+    )(edge_width.reshape(bsz, 1).astype(jnp.int32), covered, comp_pad,
+      orig_pad)
+    return out[:, :h, :]
+
+
 def warp_frame_pallas(img_u8: jnp.ndarray, depth: jnp.ndarray,
                       tables: PlaneTables, kernel_size: int, sigma: float,
                       s_neg: int, s_pos: int,
@@ -275,14 +385,17 @@ def adaptive_block_rows(width: int) -> int:
 def warp_batch_pallas(imgs_u8: jnp.ndarray, depths: jnp.ndarray,
                       offset_ranges: jnp.ndarray, cfg, height: int,
                       max_planes: int, kernel_size: int, sigma: float,
-                      s_neg: int, s_pos: int,
+                      s_neg: int, s_pos: int, emit: str = "u8",
                       interpret: bool = False) -> jnp.ndarray:
     """Fully fused batched warp: compositor kernel + blur/select kernel.
 
     (B, H, W, 3) uint8 + (B, H, W) depth + (B, 2) smoothed ranges
-    -> (B, H, 2W, 3) SBS. The blur kernel owns the batch grid itself
-    (manual-DMA kernels don't compose with vmap), so this is the batched
-    entry the pipeline calls instead of vmapping warp_frame.
+    -> (B, H, 2W, 3) uint8 SBS (``emit="u8"``) or (B, H, 2W) packed-uint32
+    SBS (``emit="packed"`` — edge copy and concat fused into the blur
+    kernel; the host unpacks r|g<<8|b<<16 to rgb24). The blur kernel owns
+    the batch grid itself (manual-DMA kernels don't compose with vmap), so
+    this is the batched entry the pipeline calls instead of vmapping
+    warp_frame.
     """
     from vr_video_generator_tpu.ops.warp import build_plane_tables
 
@@ -295,10 +408,17 @@ def warp_batch_pallas(imgs_u8: jnp.ndarray, depths: jnp.ndarray,
     tables, st = jax.vmap(tables_fn)(depths, offset_ranges)
 
     rows = adaptive_block_rows(w)
+    img32 = imgs_u8.astype(jnp.uint32)
+    orig_packed = img32[..., 0] | (img32[..., 1] << 8) | (img32[..., 2] << 16)
     comp_packed, covered = jax.vmap(
-        lambda im, d, s: warp_composite_pallas_packed(
+        lambda im, d, s: _composite_prepacked(
             im, d, s, s_neg, s_pos, block_rows=rows, interpret=interpret)
-    )(imgs_u8, depths, st)
+    )(orig_packed, depths, st)
+
+    if emit == "packed":
+        return blur_select_sbs_pallas(comp_packed, covered, orig_packed,
+                                      tables.edge_width, kernel_size, sigma,
+                                      block_rows=rows, interpret=interpret)
 
     final_packed = blur_select_pallas(comp_packed, covered, kernel_size,
                                       sigma, block_rows=rows,

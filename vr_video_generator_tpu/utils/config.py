@@ -170,6 +170,13 @@ class RunConfig:
     mesh_shape: Optional[Tuple[int, ...]] = None  # None -> all devices on 'data'
     encoder_device: str = "cpu"   # ffmpeg video-encoder selection ('cpu'|'nvidia')
     warp_impl: str = "auto"       # 'auto' | 'xla' | 'pallas'
+    # SBS output encoding: 'u8' = (B, H, 2W, 3) uint8; 'packed' = (B, H, 2W)
+    # uint32 r|g<<8|b<<16 (pallas warp only — edge/concat fused into the blur
+    # kernel, host unpacks to rgb24 via the native tier). 'auto' = u8:
+    # measured on device the fusion saves only ~0.02 ms/frame (XLA already
+    # fuses the unpack/where/concat epilogue into one pass) while packed
+    # readback costs +33% D2H (4 vs 3 bytes/pixel) — see docs/BENCHLOG.md.
+    sbs_output: str = "auto"
     gelu: str = "exact"           # 'exact' (reference parity) | 'tanh' (fast)
     profile_dir: str = ""         # jax.profiler trace output dir ("" = off)
 

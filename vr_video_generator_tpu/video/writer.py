@@ -71,6 +71,19 @@ class SubclipWriter:
     def _path(self, begin: int, end_inclusive: int) -> str:
         return os.path.join(self.subclip_dir, f"{begin}_{end_inclusive}.mp4")
 
+    def _rgb24(self, frame: np.ndarray) -> np.ndarray:
+        """Accept either uint8 HWC frames or the device's packed-uint32 SBS
+        rows (r|g<<8|b<<16 — ops/warp_pallas blur_select_sbs_pallas) and
+        return rgb24; native byte-strip when the C++ tier is built."""
+        if frame.dtype != np.uint32:
+            return frame
+        if native_available():
+            if (getattr(self, "_unpack_buf", None) is None
+                    or self._unpack_buf.shape[:2] != frame.shape):
+                self._unpack_buf = np.empty((*frame.shape, 3), np.uint8)
+            return native.unpack_sbs(frame, out=self._unpack_buf)
+        return native.unpack_sbs_np(frame)
+
     def write_clip(self, begin: int, frames: Sequence[np.ndarray]) -> str:
         """Write frames [begin, begin+len) as one subclip; returns its path."""
         end_inclusive = begin + len(frames) - 1
@@ -93,13 +106,15 @@ class SubclipWriter:
             if native_available():
                 # GIL-free EINTR-safe fd writes; frames coming off the device
                 # readback are contiguous batch rows, so this path is
-                # zero-copy (no .tobytes() allocation per frame).
+                # zero-copy (no .tobytes() allocation per frame) for uint8
+                # and one native byte-strip for packed-uint32 SBS.
                 fd = proc.stdin.fileno()
                 for frame in frames:
-                    if native.write_full(fd, frame) < 0:
+                    if native.write_full(fd, self._rgb24(frame)) < 0:
                         raise BrokenPipeError(f"encoder pipe write failed: {path}")
             else:
                 for frame in frames:
+                    frame = self._rgb24(frame)
                     proc.stdin.write(np.ascontiguousarray(frame).tobytes())
             proc.stdin.close()
             self._procs.append(proc)
@@ -109,6 +124,7 @@ class SubclipWriter:
             if not writer.isOpened():
                 raise RuntimeError(f"cv2.VideoWriter failed to open {path}")
             for frame in frames:
+                frame = self._rgb24(frame)
                 writer.write(np.ascontiguousarray(frame[:, :, ::-1]))  # RGB->BGR
             writer.release()
         return path
