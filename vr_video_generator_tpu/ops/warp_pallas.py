@@ -155,6 +155,39 @@ def warp_composite_pallas(img_u8: jnp.ndarray, depth: jnp.ndarray,
     return _unpack_rgb(out_packed), covered
 
 
+def _blur_channels(window, hb_s, kxw, kyw, bh: int, w: int, py: int):
+    """Separable blur of the three packed channels of ``window``.
+
+    The horizontal pass accumulates in SSA values when the unrolled tap
+    slices fit the 16M kernel stack (one fewer VMEM round trip per tap than
+    the scratch-ref form — measured win at 1080p); at 4K widths it falls
+    back to accumulating through ``hb_s`` so Mosaic can free each tap's
+    temporary (stack overflow otherwise, see kernel docstring).
+    """
+    rows = bh + 2 * py
+    ssa_ok = rows * w * 4 * (len(kxw) + 4) <= 12 * 2 ** 20
+    chans = []
+    for shiftbits in (0, 8, 16):
+        # Mosaic has no uint32<->float32 cast; the masked byte fits int32.
+        ch = ((window >> shiftbits) & 0xFF).astype(jnp.int32).astype(jnp.float32)
+        if ssa_ok:
+            hb = float(kxw[0]) * ch[:, 0:w]
+            for t in range(1, len(kxw)):
+                hb = hb + float(kxw[t]) * ch[:, t:t + w]
+            hb_rows = hb
+        else:
+            hb_s[:, :] = jnp.zeros((rows, w), jnp.float32)
+            for t in range(len(kxw)):
+                hb_s[:, :] = hb_s[:, :] + float(kxw[t]) * ch[:, t:t + w]
+            hb_rows = hb_s[:, :]
+        vb = jnp.zeros((bh, w), jnp.float32)
+        for t in range(len(kyw)):
+            vb = vb + float(kyw[t]) * hb_rows[t:t + bh, :]
+        chans.append(
+            jnp.clip(jnp.round(vb), 0, 255).astype(jnp.int32).astype(jnp.uint32))
+    return chans
+
+
 def _blur_select_kernel(cov_ref, comp_hbm, out_ref, scratch, hb_s, sem,
                         *, kxw, kyw, bh: int, w: int, px: int, py: int):
     """Separable Gaussian blur + hole-select over one (bh, w) row block.
@@ -180,19 +213,7 @@ def _blur_select_kernel(cov_ref, comp_hbm, out_ref, scratch, hb_s, sem,
     copy.wait()
     window = scratch[:bh + 2 * py, :]
 
-    chans_blurred = []
-    for shiftbits in (0, 8, 16):
-        # Mosaic has no uint32<->float32 cast; the masked byte fits int32.
-        ch = ((window >> shiftbits) & 0xFF).astype(jnp.int32).astype(jnp.float32)
-        hb_s[:, :] = jnp.zeros((bh + 2 * py, w), jnp.float32)
-        for t in range(len(kxw)):
-            hb_s[:, :] = hb_s[:, :] + float(kxw[t]) * ch[:, t:t + w]
-        vb = jnp.zeros((bh, w), jnp.float32)
-        for t in range(len(kyw)):
-            vb = vb + float(kyw[t]) * hb_s[t:t + bh, :]
-        chans_blurred.append(
-            jnp.clip(jnp.round(vb), 0, 255).astype(jnp.int32).astype(jnp.uint32))
-
+    chans_blurred = _blur_channels(window, hb_s, kxw, kyw, bh, w, py)
     blurred = (chans_blurred[0] | (chans_blurred[1] << 8)
                | (chans_blurred[2] << 16))
     center = window[py:py + bh, px:px + w] & jnp.uint32(0x00FFFFFF)
@@ -278,18 +299,7 @@ def _blur_select_sbs_kernel(edge_ref,                 # SMEM (B, 1) i32
     copy.wait()
     window = scratch[:bh + 2 * py, :]
 
-    chans_blurred = []
-    for shiftbits in (0, 8, 16):
-        ch = ((window >> shiftbits) & 0xFF).astype(jnp.int32).astype(jnp.float32)
-        hb_s[:, :] = jnp.zeros((bh + 2 * py, w), jnp.float32)
-        for t in range(len(kxw)):
-            hb_s[:, :] = hb_s[:, :] + float(kxw[t]) * ch[:, t:t + w]
-        vb = jnp.zeros((bh, w), jnp.float32)
-        for t in range(len(kyw)):
-            vb = vb + float(kyw[t]) * hb_s[t:t + bh, :]
-        chans_blurred.append(
-            jnp.clip(jnp.round(vb), 0, 255).astype(jnp.int32).astype(jnp.uint32))
-
+    chans_blurred = _blur_channels(window, hb_s, kxw, kyw, bh, w, py)
     blurred = (chans_blurred[0] | (chans_blurred[1] << 8)
                | (chans_blurred[2] << 16))
     center = window[py:py + bh, px:px + w] & jnp.uint32(0x00FFFFFF)
