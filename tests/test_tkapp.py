@@ -1,0 +1,75 @@
+"""FormModel (graphical-UI view-model) tests — headless.
+
+The tkinter layer itself needs a display; everything it binds to
+(field state, combo mapping, preview, validation, run/stop, debug listing)
+lives in FormModel and is exercised here. Capability map: reference
+UserInterface.py:30-50 (fields), :82-104 (preview/auto name), :106-140
+(run/stop), :232/:253 (combos), :263 (debug browse).
+"""
+
+import os
+import sys
+import time
+
+from vr_video_generator_tpu.ui.tkapp import (ENCODER_ITEMS, REPAIR_ITEMS,
+                                             FormModel)
+
+
+def test_defaults_and_preview_roundtrip():
+    m = FormModel()
+    assert m.fields["encoder"] == "vits"
+    pv = m.preview()
+    assert "--VideoDir" in pv and "--encoder vits" in pv
+    # empty OutputDir is auto-derived in the preview (reference :100-104)
+    assert "SBS input.mkv" in pv
+
+
+def test_combo_label_value_mapping():
+    m = FormModel()
+    for label, value in ENCODER_ITEMS.items():
+        m.set_encoder_item(label)
+        assert m.fields["encoder"] == value
+        assert m.encoder_label() == label
+    for label, value in REPAIR_ITEMS.items():
+        m.set_repair_item(label)
+        assert m.fields["repair_mode"] == value
+        assert m.repair_label() == label
+
+
+def test_auto_output_and_validation():
+    m = FormModel()
+    m.set_field("VideoDir", "/data/movie night.mp4")
+    assert m.auto_output() == "/data/SBS movie night.mkv"
+    assert m.validate() is None
+    m.set_field("batch_size", "eight")
+    assert "batch_size" in m.validate()
+    m.set_field("batch_size", "8")
+    m.set_field("offset_fg", "big")
+    assert "offset_fg" in m.validate()
+
+
+def test_run_rejects_invalid_and_runs_valid(tmp_path):
+    m = FormModel()
+    m.set_field("batch_size", "nope")
+    try:
+        m.run()
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+    # valid config: swap the command for a short sleep via PipelineProcess
+    m.set_field("batch_size", "8")
+    m.proc.start([sys.executable, "-c", "import time; time.sleep(30)"])
+    assert m.running()
+    m.stop()
+    time.sleep(0.1)
+    assert not m.running()
+
+
+def test_debug_listing(tmp_path):
+    m = FormModel()
+    m.set_field("DebugDir", str(tmp_path))
+    (tmp_path / "segment_0.txt").write_text("hi")
+    (tmp_path / "ERROR.txt").write_text("boom")
+    assert m.debug_listing() == ["ERROR.txt", "segment_0.txt"]
+    m.set_field("DebugDir", str(tmp_path / "missing"))
+    assert m.debug_listing() == []
