@@ -207,9 +207,14 @@ class Block(nn.Module):
         h = LayerNorm(self.dim, dtype=self.dtype, name="norm1")(x)
         h = Attention(self.num_heads, dtype=self.dtype, name="attn")(h)
         x = x + LayerScale(self.dim, dtype=self.dtype, name="ls1")(h)
+        # "auto" fuses only at vitb/vitl widths: at D=384 (vits) the fused
+        # kernel microbenches even with XLA but costs ~2-3% in the full
+        # pipeline, while at D>=768 it wins ~15% (vitb 66.9 -> 76.7 fps);
+        # see docs/BENCHLOG.md round-2 MLP study.
         fuse = self.ffn_layer == "mlp" and self.dim % 128 == 0 and (
             self.mlp_fused == "fused"
-            or (self.mlp_fused == "auto" and jax.default_backend() == "tpu"))
+            or (self.mlp_fused == "auto" and self.dim >= 512
+                and jax.default_backend() == "tpu"))
         if fuse:
             lnw, lnb = _LNParams(self.dim, name="norm2")()
             k1, b1, k2, b2 = _MlpParams(int(self.dim * self.mlp_ratio),
