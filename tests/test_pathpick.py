@@ -108,3 +108,37 @@ def test_round1_compat_helpers(tmp_path):
     picked = pick_path(str(root), extensions=(".mp4",),
                        input_fn=lambda _: next(feed), print_fn=out.append)
     assert picked == str(root / "clips" / "inner.mp4")
+
+
+def test_search_tolerates_dangling_symlink(tmp_path):
+    (tmp_path / "clip_a.mp4").write_bytes(b"x")
+    os.symlink(tmp_path / "gone.mp4", tmp_path / "clip_dead.mp4")
+    d = FileDialog(str(tmp_path))
+    d.search("clip")
+    names = {e.name for e in d.entries()}
+    assert "clip_a.mp4" in names and "clip_dead.mp4" in names
+
+
+def test_search_results_cached_until_state_changes(tmp_path, monkeypatch):
+    (tmp_path / "clip_a.mp4").write_bytes(b"x")
+    d = FileDialog(str(tmp_path))
+    d.search("clip")
+    calls = []
+    real = d._search_walk
+    monkeypatch.setattr(d, "_search_walk",
+                        lambda: calls.append(1) or real())
+    d.entries(); d.entries(); d.toggle_select(0)
+    assert len(calls) == 1           # render+render+toggle share one walk
+    d.show_hidden = True
+    d.entries()
+    assert len(calls) == 2           # state change invalidates
+
+
+def test_pick_path_shows_hidden(tmp_path):
+    """Round-1 behavior: dotfiles stay selectable through pick_path."""
+    (tmp_path / ".hidden_ckpt.pth").write_bytes(b"x")
+    from vr_video_generator_tpu.ui.pathpick import pick_path
+    ins = iter(["0"])
+    out = pick_path(str(tmp_path), input_fn=lambda _: next(ins),
+                    print_fn=lambda *_a: None)
+    assert out and out.endswith(".hidden_ckpt.pth")

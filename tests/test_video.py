@@ -104,6 +104,30 @@ def test_checker_catches_overlapping_clips(tmp_path):
     assert sorted_subclips(subdir) == ["0_5.mp4"]
 
 
+def test_checker_double_bad_clip_removed_once(tmp_path):
+    """A clip failing BOTH the length and the overlap check must be removed
+    exactly once (regression: os.remove raised FileNotFoundError on the
+    second attempt and aborted the scan)."""
+    import cv2
+
+    subdir = str(tmp_path / "sub") + os.sep
+    writer = SubclipWriter(subdir, FPS, W, H, backend="cv2")
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, (10, H, W, 3), dtype=np.uint8)
+    writer.write_clip(0, list(frames[:6]))     # 0_5
+    writer.close()
+    # 5_9 claims 5 frames but holds only 3 AND overlaps frame 5
+    bad = os.path.join(subdir, "5_9.mp4")
+    wr = cv2.VideoWriter(bad, cv2.VideoWriter_fourcc(*"mp4v"), FPS, (W, H))
+    for f in frames[5:8]:
+        wr.write(f[:, :, ::-1])
+    wr.release()
+    issues = check_subclips(subdir, remove_bad=True)
+    assert {(i.kind, i.filename) for i in issues} == {
+        ("length", "5_9.mp4"), ("continuity", "5_9.mp4")}
+    assert sorted_subclips(subdir) == ["0_5.mp4"]
+
+
 def test_auto_backend_policy():
     from vr_video_generator_tpu.video.reader import pick_auto_backend
     assert pick_auto_backend(0, "/usr/bin/ffmpeg") == "ffmpeg"

@@ -157,6 +157,10 @@ def mlp_residual_pallas(x: jnp.ndarray,
         x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
 
     row = lambda a: a.reshape(1, -1).astype(dt)
+    # LN scale/bias stay f32: the unfused path (ops/layernorm.py) applies
+    # them in f32, and rounding them to bf16 here would shift every block's
+    # activations ~2^-9 relative vs the reference rounding points.
+    row32 = lambda a: a.reshape(1, -1).astype(jnp.float32)
 
     # Resident-weight pipelined variant when both weight matrices fit VMEM
     # comfortably (vits/vitb); vitl stays on the h-blocked grid.
@@ -178,7 +182,7 @@ def mlp_residual_pallas(x: jnp.ndarray,
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((m_pad, d), dt),
             interpret=interpret,
-        )(x2, row(ln_scale), row(ln_bias), w1.astype(dt), row(b1),
+        )(x2, row32(ln_scale), row32(ln_bias), w1.astype(dt), row(b1),
           w2.astype(dt), row(b2), row(gamma))
         return out[:m].reshape(*lead, d)
 
@@ -206,6 +210,6 @@ def mlp_residual_pallas(x: jnp.ndarray,
         scratch_shapes=[pltpu.VMEM((block_m, d), dt),
                         pltpu.VMEM((block_m, d), jnp.float32)],
         interpret=interpret,
-    )(x2, row(ln_scale), row(ln_bias), w1.astype(dt), row(b1), w2.astype(dt),
+    )(x2, row32(ln_scale), row32(ln_bias), w1.astype(dt), row(b1), w2.astype(dt),
       row(b2), row(gamma))
     return out[:m].reshape(*lead, d)

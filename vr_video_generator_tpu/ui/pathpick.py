@@ -156,8 +156,23 @@ class FileDialog:
         self.search_term = term if term else None
         self._search_depth = max_depth
         self._search_cap = max_results
+        self._search_cache = None
 
     def _search_entries(self) -> List[Entry]:
+        # Each render AND each selection toggle re-reads entries(); without a
+        # cache an active search re-walks the whole tree every time. The key
+        # covers everything the result depends on; navigation clears
+        # search_term, which invalidates via the key.
+        key = (self.cwd, self.search_term, self.filter_name,
+               self._explicit_ext, self.show_hidden)
+        cached = getattr(self, "_search_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        out = self._search_walk()
+        self._search_cache = (key, out)
+        return out
+
+    def _search_walk(self) -> List[Entry]:
         term = self.search_term.lower()
         is_glob = any(ch in term for ch in "*?[")
         out: List[Entry] = []
@@ -178,7 +193,13 @@ class FileDialog:
                 if not is_dir and not self._match(name):
                     continue
                 rel = os.path.relpath(path, self.cwd)
-                size = 0 if is_dir else os.path.getsize(path)
+                if is_dir:
+                    size = 0
+                else:
+                    try:
+                        size = os.path.getsize(path)
+                    except OSError:  # dangling symlink / deleted mid-walk
+                        size = 0
                 out.append(Entry(rel, path, is_dir, size))
                 if len(out) >= self._search_cap:
                     return out
@@ -304,6 +325,9 @@ def list_entries(directory: str,
 
 def pick_path(start: str = ".", extensions: Optional[Sequence[str]] = None,
               input_fn=input, print_fn=print) -> Optional[str]:  # pragma: no cover - interactive
-    """Single-path convenience picker (round-1 API)."""
-    result = FileDialog(start, extensions=extensions).run(input_fn, print_fn)
+    """Single-path convenience picker (round-1 API). show_hidden=True keeps
+    round-1 behavior — the old list-based picker never hid dotfiles, and
+    checkpoints under dot-directories must stay reachable."""
+    result = FileDialog(start, extensions=extensions,
+                        show_hidden=True).run(input_fn, print_fn)
     return result[0] if result else None

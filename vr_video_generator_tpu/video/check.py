@@ -42,10 +42,12 @@ def check_subclips(subclip_dir: str, remove_bad: bool = False) -> List[ClipIssue
         path = os.path.join(subclip_dir, name)
         _, real_len, _, _ = probe_video(path)
         expected = end_inclusive + 1 - begin
+        removed = False
         if real_len != expected:
             issues.append(ClipIssue("length", name, (begin, end_inclusive + 1)))
             if remove_bad:
                 os.remove(path)
+                removed = True
         if prev_end is not None:
             # The writer's names are end-INCLUSIVE (video/writer.py), so the
             # only contiguous layout is begin == prev_end + 1. Accepting
@@ -59,7 +61,7 @@ def check_subclips(subclip_dir: str, remove_bad: bool = False) -> List[ClipIssue
                 # following clips against the clip we kept.
                 issues.append(ClipIssue("continuity", name,
                                         (begin, end_inclusive + 1)))
-                if remove_bad:
+                if remove_bad and not removed:  # may already be gone (length)
                     os.remove(path)
                 continue
         prev_name, prev_end = name, end_inclusive

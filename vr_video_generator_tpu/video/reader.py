@@ -148,7 +148,13 @@ class VideoReader:
             ok, bgr = self._cap.read()
             if not ok or bgr is None:
                 return False
-            if native_available() and bgr.flags.c_contiguous and out.flags.c_contiguous:
+            if (native_available() and bgr.flags.c_contiguous
+                    and out.flags.c_contiguous and bgr.shape == out.shape):
+                # shape equality is load-bearing: the native swizzle writes
+                # src.size bytes blindly, so a decoded frame that disagrees
+                # with the probe dimensions (mid-stream resolution change)
+                # must take the numpy path, which raises instead of
+                # overrunning the staging batch row.
                 native.bgr_to_rgb(bgr, out)
             else:
                 out[:] = bgr[:, :, ::-1]
