@@ -78,3 +78,48 @@ def test_block_fused_matches_unfused_and_tree():
     got = blk_f.apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=0, atol=3e-5)
+
+
+def test_swiglu_residual_parity():
+    from vr_video_generator_tpu.ops.mlp_pallas import (swiglu_residual_pallas,
+                                                       swiglu_residual_ref)
+
+    rng = np.random.default_rng(13)
+    m, d, hp = 300, 128, 256
+    for dtype, atol in ((jnp.float32, 2e-5), (jnp.bfloat16, 6e-2)):
+        x = jnp.asarray(rng.standard_normal((m, d)) * 0.5, dtype)
+        p = dict(
+            ln_scale=jnp.asarray(1 + 0.1 * rng.standard_normal(d), jnp.float32),
+            ln_bias=jnp.asarray(0.1 * rng.standard_normal(d), jnp.float32),
+            w12=jnp.asarray(rng.standard_normal((d, 2 * hp)) * 0.05, jnp.float32),
+            b12=jnp.asarray(0.1 * rng.standard_normal(2 * hp), jnp.float32),
+            w3=jnp.asarray(rng.standard_normal((hp, d)) * 0.05, jnp.float32),
+            b3=jnp.asarray(0.1 * rng.standard_normal(d), jnp.float32),
+            gamma=jnp.asarray(1 + 0.1 * rng.standard_normal(d), jnp.float32),
+        )
+        want = swiglu_residual_ref(x, **p)
+        got = swiglu_residual_pallas(x, **p, block_m=128, block_h=128,
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want, np.float32),
+                                   rtol=0, atol=atol)
+
+
+def test_block_swiglu_fused_matches_unfused_and_tree():
+    """vitg-style Block (swiglufused) fused==unfused with identical tree."""
+    from vr_video_generator_tpu.models.dinov2 import Block
+
+    rng = np.random.default_rng(19)
+    x = jnp.asarray(rng.standard_normal((2, 30, 128)) * 0.5, jnp.float32)
+    blk_x = Block(dim=128, num_heads=2, mlp_ratio=4.0,
+                  ffn_layer="swiglufused", mlp_fused="xla")
+    blk_f = Block(dim=128, num_heads=2, mlp_ratio=4.0,
+                  ffn_layer="swiglufused", mlp_fused="fused")
+    params = blk_x.init(jax.random.PRNGKey(0), x)["params"]
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(
+                blk_f.init(jax.random.PRNGKey(0), x)["params"]))
+    want = blk_x.apply({"params": params}, x)
+    got = blk_f.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=3e-5)

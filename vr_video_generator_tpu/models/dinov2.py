@@ -155,6 +155,20 @@ class _MlpParams(nn.Module):
         return k1, b1, k2, b2
 
 
+class _SwiGLUParams(nn.Module):
+    """Param tree of SwiGLUFFN (w12+w3) without the compute."""
+
+    hidden_dim: int
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        swiglu_hidden = (int(self.hidden_dim * 2 / 3) + 7) // 8 * 8
+        k12, b12 = _DenseParams(2 * swiglu_hidden, self.dim, name="w12")()
+        k3, b3 = _DenseParams(self.dim, swiglu_hidden, name="w3")()
+        return k12, b12, k3, b3
+
+
 class _LNParams(nn.Module):
     """Param tree of LayerNorm ({scale, bias}) without the compute."""
 
@@ -207,19 +221,28 @@ class Block(nn.Module):
         h = LayerNorm(self.dim, dtype=self.dtype, name="norm1")(x)
         h = Attention(self.num_heads, dtype=self.dtype, name="attn")(h)
         x = x + LayerScale(self.dim, dtype=self.dtype, name="ls1")(h)
-        # "auto" fuses only at vitb/vitl widths: at D=384 (vits) the fused
-        # kernel microbenches even with XLA but costs ~2-3% in the full
-        # pipeline, while at D>=768 it wins ~15% (vitb 66.9 -> 76.7 fps);
-        # see docs/BENCHLOG.md round-2 MLP study.
-        fuse = self.ffn_layer == "mlp" and self.dim % 128 == 0 and (
-            self.mlp_fused == "fused"
-            or (self.mlp_fused == "auto" and self.dim >= 512
-                and jax.default_backend() == "tpu"))
+        # "auto" fuses only at vitb/vitl/vitg widths: at D=384 (vits) the
+        # fused kernel microbenches even with XLA but costs ~2-3% in the
+        # full pipeline, while at D>=768 it wins ~15% (vitb 66.9 -> 76.7
+        # fps); see docs/BENCHLOG.md round-2 MLP study.
+        fuse = self.ffn_layer in ("mlp", "swiglufused") \
+            and self.dim % 128 == 0 and (
+                self.mlp_fused == "fused"
+                or (self.mlp_fused == "auto" and self.dim >= 512
+                    and jax.default_backend() == "tpu"))
         if fuse:
+            from vr_video_generator_tpu.ops.mlp_pallas import \
+                swiglu_residual_pallas
+
             lnw, lnb = _LNParams(self.dim, name="norm2")()
+            gamma = _LSParams(self.dim, name="ls2")()
+            if self.ffn_layer == "swiglufused":
+                k12, b12, k3, b3 = _SwiGLUParams(
+                    int(self.dim * self.mlp_ratio), self.dim, name="mlp")()
+                return swiglu_residual_pallas(x, lnw, lnb, k12, b12, k3, b3,
+                                              gamma)
             k1, b1, k2, b2 = _MlpParams(int(self.dim * self.mlp_ratio),
                                         self.dim, name="mlp")()
-            gamma = _LSParams(self.dim, name="ls2")()
             return mlp_residual_pallas(x, lnw, lnb, k1, b1, k2, b2, gamma,
                                        approx=self.gelu_approx)
         h = LayerNorm(self.dim, dtype=self.dtype, name="norm2")(x)

@@ -30,7 +30,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vr_video_generator_tpu.ops.gelu import gelu_exact
 
-__all__ = ["mlp_residual_pallas", "mlp_residual_ref"]
+__all__ = ["mlp_residual_pallas", "mlp_residual_ref",
+           "swiglu_residual_pallas", "swiglu_residual_ref"]
 
 
 def _kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
@@ -105,6 +106,125 @@ def _kernel_resident(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 
     out = acc.astype(o_ref.dtype) + b2_ref[0, :]
     o_ref[:, :] = x_ref[:, :] + gamma_ref[0, :] * out
+
+
+def _swiglu_kernel(x_ref, lnw_ref, lnb_ref, w1a_ref, b1a_ref, w1b_ref,
+                   b1b_ref, w3_ref, b3_ref, gamma_ref, o_ref, h_s, acc_s,
+                   *, n_h: int, eps: float):
+    """SwiGLU half-block (vitg): LN + [x1|x2] projections + silu(x1)*x2 +
+    w3 + LayerScale + residual, h-blocked with f32 fc-out accumulation.
+    Mirrors SwiGLUFFN's rounding (models/dinov2.py:86-91; reference
+    dinov2_layers/swiglu_ffn.py fused variant)."""
+    hb = pl.program_id(1)
+
+    @pl.when(hb == 0)
+    def _():
+        x = x_ref[:, :].astype(jnp.float32)
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + eps)
+        y = y * lnw_ref[0, :] + lnb_ref[0, :]
+        h_s[:, :] = y.astype(h_s.dtype)
+        acc_s[:, :] = jnp.zeros(acc_s.shape, acc_s.dtype)
+
+    def proj(w_ref, b_ref):
+        t = jax.lax.dot_general(h_s[:, :], w_ref[:, :],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        return t.astype(h_s.dtype) + b_ref[0, :]
+
+    t1 = proj(w1a_ref, b1a_ref)
+    t2 = proj(w1b_ref, b1b_ref)
+    g = jax.nn.silu(t1) * t2
+    acc_s[:, :] = acc_s[:, :] + jax.lax.dot_general(
+        g, w3_ref[:, :], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(hb == n_h - 1)
+    def _():
+        y = acc_s[:, :].astype(o_ref.dtype) + b3_ref[0, :]
+        o_ref[:, :] = x_ref[:, :] + gamma_ref[0, :] * y
+
+
+def swiglu_residual_ref(x, ln_scale, ln_bias, w12, b12, w3, b3, gamma,
+                        eps: float = 1e-6):
+    """XLA mirror of the fused SwiGLU half-block (exact unfused Block math)."""
+    from vr_video_generator_tpu.ops.layernorm import _layernorm_ref
+
+    dt = x.dtype
+    h = _layernorm_ref(x, ln_scale, ln_bias, eps, dt)
+    t = jnp.dot(h, w12.astype(dt),
+                preferred_element_type=jnp.float32).astype(dt) + b12.astype(dt)
+    x1, x2 = jnp.split(t, 2, axis=-1)
+    g = jax.nn.silu(x1) * x2
+    y = jnp.dot(g, w3.astype(dt),
+                preferred_element_type=jnp.float32).astype(dt) + b3.astype(dt)
+    return x + gamma.astype(dt) * y
+
+
+def swiglu_residual_pallas(x: jnp.ndarray,
+                           ln_scale: jnp.ndarray, ln_bias: jnp.ndarray,
+                           w12: jnp.ndarray, b12: jnp.ndarray,
+                           w3: jnp.ndarray, b3: jnp.ndarray,
+                           gamma: jnp.ndarray,
+                           eps: float = 1e-6, block_m: int = 512,
+                           block_h: int = 512,
+                           interpret: bool = False) -> jnp.ndarray:
+    """x (..., D) -> x + gamma * SwiGLU(LN(x)); the vitg analog of
+    mlp_residual_pallas (reference dinov2_layers/swiglu_ffn.py:13-63)."""
+    dt = x.dtype
+    interpret = interpret or jax.default_backend() != "tpu"
+    lead, d = x.shape[:-1], x.shape[-1]
+    hp = w12.shape[1] // 2
+    assert w12.shape == (d, 2 * hp) and w3.shape == (hp, d)
+    block_h = min(block_h, hp)
+    if hp % block_h:
+        block_h = hp
+    assert d % 128 == 0
+    n_h = hp // block_h
+
+    m = 1
+    for s in lead:
+        m *= s
+    x2d = x.reshape(m, d)
+    block_m = min(block_m, m + (-m) % 8)
+    m_pad = m + (-m) % block_m
+    if m_pad != m:
+        x2d = jnp.pad(x2d, ((0, m_pad - m), (0, 0)))
+
+    row = lambda a: a.reshape(1, -1).astype(dt)
+    row32 = lambda a: a.reshape(1, -1).astype(jnp.float32)
+    w1a, w1b = w12[:, :hp].astype(dt), w12[:, hp:].astype(dt)
+    b1a, b1b = b12[:hp], b12[hp:]
+
+    kernel = functools.partial(_swiglu_kernel, n_h=n_h, eps=eps)
+    hblk = lambda i, h: (0, h)
+    out = pl.pallas_call(
+        kernel,
+        grid=(m_pad // block_m, n_h),
+        in_specs=[
+            pl.BlockSpec((block_m, d), lambda i, h: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, h: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, h: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, block_h), hblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_h), hblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, block_h), hblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_h), hblk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_h, d), lambda i, h: (h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, h: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, h: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, d), lambda i, h: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, d), dt),
+        scratch_shapes=[pltpu.VMEM((block_m, d), dt),
+                        pltpu.VMEM((block_m, d), jnp.float32)],
+        interpret=interpret,
+    )(x2d, row32(ln_scale), row32(ln_bias), w1a, row(b1a), w1b, row(b1b),
+      w3.astype(dt), row(b3), row(gamma))
+    return out[:m].reshape(*lead, d)
 
 
 def mlp_residual_ref(x, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
