@@ -123,3 +123,50 @@ def test_block_swiglu_fused_matches_unfused_and_tree():
     got = blk_f.apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=0, atol=3e-5)
+
+
+def test_block_fused_bf16_close():
+    """bf16 fused Block (attn + mlp halves both in kernels) vs unfused."""
+    from vr_video_generator_tpu.models.dinov2 import Block
+
+    rng = np.random.default_rng(29)
+    x = jnp.asarray(rng.standard_normal((2, 40, 128)) * 0.5, jnp.bfloat16)
+    blk_x = Block(dim=128, num_heads=2, mlp_ratio=4.0, mlp_fused="xla")
+    blk_f = Block(dim=128, num_heads=2, mlp_ratio=4.0, mlp_fused="fused")
+    params = blk_x.init(jax.random.PRNGKey(0), x)["params"]
+    want = np.asarray(blk_x.apply({"params": params}, x), np.float32)
+    got = np.asarray(blk_f.apply({"params": params}, x), np.float32)
+    np.testing.assert_allclose(got, want, rtol=0, atol=6e-2)
+    assert (np.abs(got - want) > 2e-2).mean() < 5e-3
+
+
+def test_ln_qkv_layout_matches_unfused_prep():
+    """ln_qkv_pallas emits exactly oneshot_mha's prep layout: transposed
+    per-head blocks, q pre-scaled, pad rows of K/V zeroed."""
+    from vr_video_generator_tpu.ops.qkv_pallas import ln_qkv_pallas
+    from vr_video_generator_tpu.ops.layernorm import _layernorm_ref
+
+    rng = np.random.default_rng(31)
+    b, n, d, heads = 2, 300, 128, 2
+    dh, scale = d // heads, (d // heads) ** -0.5
+    x = jnp.asarray(rng.standard_normal((b, n, d)) * 0.5, jnp.float32)
+    lnw = jnp.asarray(1 + 0.1 * rng.standard_normal(d), jnp.float32)
+    lnb = jnp.asarray(0.1 * rng.standard_normal(d), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((d, 3 * d)) * 0.05, jnp.float32)
+    bias = jnp.asarray(0.1 * rng.standard_normal(3 * d), jnp.float32)
+
+    qt, kt, vt = ln_qkv_pallas(x, lnw, lnb, w, bias, heads, scale,
+                               interpret=True)
+    assert qt.shape == (b, heads, 512, dh)
+
+    h = _layernorm_ref(x, lnw, lnb, 1e-6, x.dtype)
+    t = jnp.dot(h, w, preferred_element_type=jnp.float32) + bias
+    tr = np.asarray(t).reshape(b, n, 3, heads, dh)
+    np.testing.assert_allclose(np.asarray(qt)[:, :, :n],
+                               np.moveaxis(tr[:, :, 0], 1, 2) * scale,
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(kt)[:, :, :n],
+                               np.moveaxis(tr[:, :, 1], 1, 2),
+                               rtol=0, atol=1e-5)
+    assert np.all(np.asarray(kt)[:, :, n:] == 0)
+    assert np.all(np.asarray(vt)[:, :, n:] == 0)

@@ -155,6 +155,18 @@ class _MlpParams(nn.Module):
         return k1, b1, k2, b2
 
 
+class _AttnParams(nn.Module):
+    """Param tree of Attention (qkv+proj) without the compute."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        kq, bq = _DenseParams(3 * self.dim, self.dim, name="qkv")()
+        kp, bp = _DenseParams(self.dim, self.dim, name="proj")()
+        return kq, bq, kp, bp
+
+
 class _SwiGLUParams(nn.Module):
     """Param tree of SwiGLUFFN (w12+w3) without the compute."""
 
@@ -216,11 +228,32 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from vr_video_generator_tpu.ops.attention_pallas import (
+            oneshot_mha_heads, supported)
         from vr_video_generator_tpu.ops.mlp_pallas import mlp_residual_pallas
+        from vr_video_generator_tpu.ops.qkv_pallas import (
+            attn_fusable, ln_qkv_pallas, proj_ls_residual_pallas)
 
-        h = LayerNorm(self.dim, dtype=self.dtype, name="norm1")(x)
-        h = Attention(self.num_heads, dtype=self.dtype, name="attn")(h)
-        x = x + LayerScale(self.dim, dtype=self.dtype, name="ls1")(h)
+        n_tokens = x.shape[1]
+        fuse_attn = self.dim % 128 == 0 and (self.dim // self.num_heads) \
+            % 64 == 0 and supported(n_tokens) \
+            and attn_fusable(self.dim, n_tokens, x.dtype) and (
+                self.mlp_fused == "fused"
+                or (self.mlp_fused == "auto" and self.dim >= 512
+                    and jax.default_backend() == "tpu"))
+        if fuse_attn:
+            lnw1, lnb1 = _LNParams(self.dim, name="norm1")()
+            kq, bq, kp, bp = _AttnParams(self.dim, name="attn")()
+            g1 = _LSParams(self.dim, name="ls1")()
+            scale = (self.dim // self.num_heads) ** -0.5
+            qt, kt, vt = ln_qkv_pallas(x, lnw1, lnb1, kq, bq,
+                                       self.num_heads, scale)
+            ot = oneshot_mha_heads(qt, kt, vt, n_tokens)
+            x = proj_ls_residual_pallas(ot, x, kp, bp, g1)
+        else:
+            h = LayerNorm(self.dim, dtype=self.dtype, name="norm1")(x)
+            h = Attention(self.num_heads, dtype=self.dtype, name="attn")(h)
+            x = x + LayerScale(self.dim, dtype=self.dtype, name="ls1")(h)
         # "auto" fuses only at vitb/vitl/vitg widths: at D=384 (vits) the
         # fused kernel microbenches even with XLA but costs ~2-3% in the
         # full pipeline, while at D>=768 it wins ~15% (vitb 66.9 -> 76.7

@@ -64,6 +64,32 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, n: int):
     o_ref[0, 0] = (o / l).astype(o_ref.dtype)
 
 
+def oneshot_mha_heads(qt: jnp.ndarray, kt: jnp.ndarray, vt: jnp.ndarray,
+                      n: int, block_q: int = _BLOCK_Q,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Heads-layout entry: qt/kt/vt (B, H, N_pad, D) with q PRE-SCALED and
+    pad K/V rows ZEROED (the fused LN+qkv kernel emits exactly this) ->
+    (B, H, N_pad, D). ``n`` is the real token count for the pad-logit
+    denominator correction."""
+    interpret = interpret or jax.default_backend() != "tpu"
+    b, h, n_pad, d = qt.shape
+    bq = min(block_q, n_pad)
+    assert n_pad % bq == 0
+
+    qblock = pl.BlockSpec((1, 1, bq, d), lambda bi, hi, i: (bi, hi, i, 0),
+                          memory_space=pltpu.VMEM)
+    kvblock = pl.BlockSpec((1, 1, n_pad, d), lambda bi, hi, i: (bi, hi, 0, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel, n=n),
+        grid=(b, h, n_pad // bq),
+        in_specs=[qblock, kvblock, kvblock],
+        out_specs=qblock,
+        out_shape=jax.ShapeDtypeStruct((b, h, n_pad, d), qt.dtype),
+        interpret=interpret,
+    )(qt, kt, vt)
+
+
 def oneshot_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
                 block_q: int = _BLOCK_Q, interpret: bool = False) -> jnp.ndarray:
     """q/k/v: (B, N, H, D) -> (B, N, H, D); non-causal, full attention."""
@@ -80,17 +106,6 @@ def oneshot_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
     qt = prep(q, True)
     kt = prep(k, False)
     vt = prep(v, False)
-
-    qblock = pl.BlockSpec((1, 1, bq, d), lambda bi, hi, i: (bi, hi, i, 0),
-                          memory_space=pltpu.VMEM)
-    kvblock = pl.BlockSpec((1, 1, n_pad, d), lambda bi, hi, i: (bi, hi, 0, 0),
-                           memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        functools.partial(_kernel, n=n),
-        grid=(b, h, n_pad // bq),
-        in_specs=[qblock, kvblock, kvblock],
-        out_specs=qblock,
-        out_shape=jax.ShapeDtypeStruct((b, h, n_pad, d), q.dtype),
-        interpret=interpret,
-    )(qt, kt, vt)
+    out = oneshot_mha_heads(qt, kt, vt, n, block_q=block_q,
+                            interpret=interpret)
     return jnp.transpose(out[:, :, :n, :], (0, 2, 1, 3))

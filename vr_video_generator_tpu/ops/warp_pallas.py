@@ -165,7 +165,10 @@ def _blur_channels(window, hb_s, kxw, kyw, bh: int, w: int, py: int):
     temporary (stack overflow otherwise, see kernel docstring).
     """
     rows = bh + 2 * py
-    ssa_ok = rows * w * 4 * (len(kxw) + 4) <= 12 * 2 ** 20
+    # Threshold calibrated on-device: the estimate undercounts Mosaic's live
+    # temporaries ~1.6x (4K at 11.3M estimated blew the 16M stack at 17.98M
+    # actual), so stay well clear; 1080p (4.6M est) keeps the SSA path.
+    ssa_ok = rows * w * 4 * (len(kxw) + 4) <= 8 * 2 ** 20
     chans = []
     for shiftbits in (0, 8, 16):
         # Mosaic has no uint32<->float32 cast; the masked byte fits int32.
@@ -174,15 +177,19 @@ def _blur_channels(window, hb_s, kxw, kyw, bh: int, w: int, py: int):
             hb = float(kxw[0]) * ch[:, 0:w]
             for t in range(1, len(kxw)):
                 hb = hb + float(kxw[t]) * ch[:, t:t + w]
-            hb_rows = hb
+            vb = jnp.zeros((bh, w), jnp.float32)
+            for t in range(len(kyw)):
+                vb = vb + float(kyw[t]) * hb[t:t + bh, :]
         else:
             hb_s[:, :] = jnp.zeros((rows, w), jnp.float32)
             for t in range(len(kxw)):
                 hb_s[:, :] = hb_s[:, :] + float(kxw[t]) * ch[:, t:t + w]
-            hb_rows = hb_s[:, :]
-        vb = jnp.zeros((bh, w), jnp.float32)
-        for t in range(len(kyw)):
-            vb = vb + float(kyw[t]) * hb_rows[t:t + bh, :]
+            vb = jnp.zeros((bh, w), jnp.float32)
+            for t in range(len(kyw)):
+                # per-tap REF reads — materializing hb_s as one value keeps
+                # the full window plus every tap slice live on the kernel
+                # stack (measured 17.98M > 16M at 4K)
+                vb = vb + float(kyw[t]) * hb_s[t:t + bh, :]
         chans.append(
             jnp.clip(jnp.round(vb), 0, 255).astype(jnp.int32).astype(jnp.uint32))
     return chans
