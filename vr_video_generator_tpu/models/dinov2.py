@@ -234,12 +234,15 @@ class Block(nn.Module):
         from vr_video_generator_tpu.ops.qkv_pallas import (
             attn_fusable, ln_qkv_pallas, proj_ls_residual_pallas)
 
+        # Attention-side fusion pays at EVERY width (vits 157 -> 181 fps:
+        # the win is the removed transposes/LN/layout traffic, not the GEMM),
+        # unlike the MLP half which only wins at D>=512.
         n_tokens = x.shape[1]
         fuse_attn = self.dim % 128 == 0 and (self.dim // self.num_heads) \
             % 64 == 0 and supported(n_tokens) \
             and attn_fusable(self.dim, n_tokens, x.dtype) and (
                 self.mlp_fused == "fused"
-                or (self.mlp_fused == "auto" and self.dim >= 512
+                or (self.mlp_fused == "auto"
                     and jax.default_backend() == "tpu"))
         if fuse_attn:
             lnw1, lnb1 = _LNParams(self.dim, name="norm1")()
