@@ -122,3 +122,35 @@ def test_pallas_warp_batch_under_shard_map(rng):
                                           jnp.asarray(depths),
                                           jnp.asarray(ranges)))
     np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_with_fused_kernels_matches_single(rng):
+    """The ViT's fused Pallas half-blocks must partition under the pjit mesh
+    (DP x TP): force mlp_fused='fused' (interpret on CPU) and check the
+    sharded step equals the single-device fused pipeline. Guards the real
+    multi-chip path, which the CPU 'auto' gate would otherwise never
+    exercise."""
+    import dataclasses
+
+    from vr_video_generator_tpu.utils.config import ModelConfig
+
+    cfg_model = ModelConfig(
+        encoder="vits", embed_dim=128, depth=2, num_heads=2, mlp_ratio=4.0,
+        features=16, out_channels=(8, 16, 32, 32),
+        intermediate_layers=(0, 1, 0, 1), depth_scaler=1.618,
+        mlp_fused="fused")
+    model = DepthAnythingV2(cfg_model, dtype=jnp.float32)
+    params = random_params(model)
+    cfg = RunConfig(batch_size=2, input_size=56, compute_dtype="float32")
+    mesh = make_mesh((4, 2))
+
+    sharded = ShardedSbsPipeline(model, params, H, W, mesh, run_cfg=cfg)
+    frames = rng.integers(0, 256, (8, H, W, 3), dtype=np.uint8)
+    sbs, _ = sharded.step(frames, sharded.initial_state())
+
+    single = SbsPipeline(model, params, H, W, run_cfg=cfg)
+    for slot in range(4):
+        ref, _ = single.step(frames[slot * 2:(slot + 1) * 2],
+                             single.initial_state())
+        np.testing.assert_array_equal(np.asarray(sbs)[slot * 2:(slot + 1) * 2],
+                                      np.asarray(ref))

@@ -366,7 +366,9 @@ class DinoVisionTransformer(nn.Module):
         for i in range(cfg.depth):
             x = Block(cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio,
                       ffn_layer=cfg.ffn_layer, dtype=self.dtype,
-                      gelu_approx=cfg.gelu_approx, name=f"block{i}")(x)
+                      gelu_approx=cfg.gelu_approx,
+                      mlp_fused=getattr(cfg, "mlp_fused", "auto"),
+                      name=f"block{i}")(x)
             if i in take:
                 out = final_norm(x)
                 tapped[i] = (out[:, 1:], out[:, 0])

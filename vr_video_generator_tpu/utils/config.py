@@ -113,6 +113,9 @@ class ModelConfig:
     # same order as the bf16 noise floor but off by default for strict
     # parity with the reference's exact erf GELU (dinov2_layers/mlp.py:37)
     gelu_approx: bool = False
+    # Half-block Pallas fusion policy for the ViT ('auto'|'fused'|'xla') —
+    # models/dinov2.Block; 'auto' fuses on TPU backends.
+    mlp_fused: str = "auto"
     depth_scaler: float = 1.618
 
     @staticmethod
