@@ -15,7 +15,6 @@ from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 
 
 @functools.lru_cache(maxsize=None)

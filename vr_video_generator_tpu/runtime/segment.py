@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Iterator, List, Optional
+from typing import List, Optional
 
 import numpy as np
 
