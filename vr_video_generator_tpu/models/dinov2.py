@@ -213,9 +213,11 @@ class Block(nn.Module):
     reference's stochastic-depth branches are train-only and Depth-Anything-V2
     runs the encoder frozen.
 
-    ``mlp_fused``: "auto" runs the whole second half (norm2 + Mlp + ls2 +
-    residual) as one Pallas kernel on TPU backends (ops/mlp_pallas.py) —
-    identical param tree, same rounding points; "xla"/"fused" force a path.
+    ``mlp_fused`` is the fusion policy for BOTH half-blocks: "auto" fuses
+    the attention half (ops/qkv_pallas.py + the one-shot attention kernel)
+    at every fusable width and the MLP half (ops/mlp_pallas.py) at D>=512
+    on TPU backends — identical param trees, same rounding points;
+    "xla"/"fused" force both halves off/on.
     """
 
     dim: int

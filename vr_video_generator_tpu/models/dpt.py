@@ -27,6 +27,9 @@ from vr_video_generator_tpu.utils.config import ModelConfig
 
 Dtype = Any
 
+# ops/packed_conv.py pixel-pair RCUs: tested but measured slower; see below.
+_PACKED_RCU = False
+
 
 class PixelShuffleUpsample(nn.Module):
     """ConvTranspose2d with kernel_size == stride == r, padding 0.
@@ -137,10 +140,9 @@ class FeatureFusionBlock(nn.Module):
         # Measured slower than XLA's padded 64-channel convs at 1080p/vits
         # (186.4 -> 182.4 fps): the block kernel's half-zero K=1152 beats
         # the N-pad on traffic but loses on conv schedule. Kept as tested
-        # groundwork (ops/packed_conv.py), off by default.
-        packed = False and (return_pre_upsample and skip is not None
-                            and packable(x)
-                            and jax.default_backend() == "tpu")
+        # groundwork (ops/packed_conv.py), off unless explicitly enabled.
+        packed = (_PACKED_RCU and return_pre_upsample and skip is not None
+                  and packable(x) and jax.default_backend() == "tpu")
         if packed:
             # vits widths (C=64): run both RCUs pixel-pair packed to 128
             # lanes — same math (ops/packed_conv.py), half the physical

@@ -18,12 +18,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _ln_kernel(x_ref, scale_ref, bias_ref, o_ref, *, eps: float):
-    x = x_ref[:, :].astype(jnp.float32)
+def ln_rows_f32(x, scale_row, bias_row, eps: float):
+    """f32 LayerNorm of (rows, D) values with (1, D) scale/bias rows — the
+    shared in-kernel body of every fused-LN Pallas kernel (this module,
+    ops/mlp_pallas.py, ops/qkv_pallas.py)."""
+    x = x.astype(jnp.float32)
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
     y = (x - mean) * jax.lax.rsqrt(var + eps)
-    y = y * scale_ref[0, :].astype(jnp.float32) + bias_ref[0, :].astype(jnp.float32)
+    return y * scale_row[0, :].astype(jnp.float32) \
+        + bias_row[0, :].astype(jnp.float32)
+
+
+def _ln_kernel(x_ref, scale_ref, bias_ref, o_ref, *, eps: float):
+    y = ln_rows_f32(x_ref[:, :], scale_ref, bias_ref, eps)
     o_ref[:, :] = y.astype(o_ref.dtype)
 
 

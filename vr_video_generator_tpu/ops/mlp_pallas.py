@@ -29,6 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vr_video_generator_tpu.ops.gelu import gelu_exact
+from vr_video_generator_tpu.ops.layernorm import ln_rows_f32
 
 __all__ = ["mlp_residual_pallas", "mlp_residual_ref",
            "swiglu_residual_pallas", "swiglu_residual_ref"]
@@ -41,12 +42,7 @@ def _kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 
     @pl.when(hb == 0)
     def _():
-        x = x_ref[:, :].astype(jnp.float32)
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-        y = (x - mean) * jax.lax.rsqrt(var + eps)
-        y = y * lnw_ref[0, :].astype(jnp.float32) \
-            + lnb_ref[0, :].astype(jnp.float32)
+        y = ln_rows_f32(x_ref[:, :], lnw_ref, lnb_ref, eps)
         h_s[:, :] = y.astype(h_s.dtype)
         acc_s[:, :] = jnp.zeros(acc_s.shape, acc_s.dtype)
 
@@ -76,13 +72,7 @@ def _kernel_resident(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     the MXU matmuls (the grid-h variant serializes them across grid steps)."""
     hidden = w1_ref.shape[1]
     n_c = hidden // chunk
-    x = x_ref[:, :].astype(jnp.float32)
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-    y = (x - mean) * jax.lax.rsqrt(var + eps)
-    y = y * lnw_ref[0, :].astype(jnp.float32) \
-        + lnb_ref[0, :].astype(jnp.float32)
-    h = y.astype(o_ref.dtype)
+    h = ln_rows_f32(x_ref[:, :], lnw_ref, lnb_ref, eps).astype(o_ref.dtype)
 
     def fc1(i):
         t = jax.lax.dot_general(
@@ -119,11 +109,7 @@ def _swiglu_kernel(x_ref, lnw_ref, lnb_ref, w1a_ref, b1a_ref, w1b_ref,
 
     @pl.when(hb == 0)
     def _():
-        x = x_ref[:, :].astype(jnp.float32)
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-        y = (x - mean) * jax.lax.rsqrt(var + eps)
-        y = y * lnw_ref[0, :] + lnb_ref[0, :]
+        y = ln_rows_f32(x_ref[:, :], lnw_ref, lnb_ref, eps)
         h_s[:, :] = y.astype(h_s.dtype)
         acc_s[:, :] = jnp.zeros(acc_s.shape, acc_s.dtype)
 

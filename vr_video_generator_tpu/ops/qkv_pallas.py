@@ -16,8 +16,9 @@ qkv dot f32-accumulated then cast to compute dtype before the bias add
 dot f32-accumulated + bf16 bias, ls1 gamma multiply and residual add in
 compute dtype. Pad K/V rows are zeroed (the attention kernel's contract).
 
-Like the fused MLP half-block, this is gated to D >= 512 (vitb/vitl):
-Mosaic's in-kernel GEMM rate eats the traffic savings at vits widths.
+Unlike the fused MLP half-block (D >= 512 only), this pays at every width
+(vits 157 -> 186 fps): the win is removed layout/transpose/LN traffic, not
+GEMM fusion.
 """
 
 from __future__ import annotations
@@ -28,6 +29,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from vr_video_generator_tpu.ops.layernorm import ln_rows_f32
 
 __all__ = ["ln_qkv_pallas", "proj_ls_residual_pallas", "attn_fusable"]
 
@@ -58,12 +61,7 @@ def _ln_qkv_kernel(x_ref, lnw_ref, lnb_ref, w_ref, b_ref,
                    *, heads: int, dh: int, n: int, bn: int, scale: float,
                    eps: float):
     blk = pl.program_id(1)
-    x = x_ref[0].astype(jnp.float32)
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-    y = (x - mean) * jax.lax.rsqrt(var + eps)
-    y = y * lnw_ref[0, :] + lnb_ref[0, :]
-    h = y.astype(q_ref.dtype)
+    h = ln_rows_f32(x_ref[0], lnw_ref, lnb_ref, eps).astype(q_ref.dtype)
 
     t = jax.lax.dot_general(h, w_ref[:, :], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
@@ -99,10 +97,10 @@ def ln_qkv_pallas(x: jnp.ndarray, ln_scale: jnp.ndarray, ln_bias: jnp.ndarray,
     fit = _qkv_block_n(d, dt)
     if fit is not None:
         block_n = min(block_n, fit)
-    bn = min(block_n, n + (-n) % 512)
-    # keep n_pad a multiple of 512 so the attention kernel's q-block grid
-    # (bq = 512) still divides it when bn is smaller
-    n_pad = n + (-n) % max(bn, min(512, n + (-n) % 512))
+    # n_pad is the next multiple of 512 (the attention kernel's q-block
+    # size); every candidate bn (512/256/128) divides it.
+    n_pad = n + (-n) % 512
+    bn = min(block_n, n_pad)
     assert n_pad % bn == 0
     if n_pad != n:
         x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
