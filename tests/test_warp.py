@@ -160,6 +160,66 @@ def test_warp_flat_depth(rng):
     assert mismatch < 5e-3
 
 
+def test_depth_under_cap_no_overflow(rng):
+    """Depth just below limit_step_cap: untouched, overflow counter stays 0."""
+    cfg = StereoConfig().normalized()
+    spec = WarpSpec.create(H, W, cfg)
+    depths = np.stack([synth_depth(rng, tmax=cfg.limit_step_cap - 0.5)
+                       for _ in range(2)])
+    state = TemporalState.initial(H, W)
+    blended, _, state = temporal_scan(jnp.asarray(depths), state, spec)
+    assert int(state.overflow) == 0
+    w0, w1, w2 = cfg.dampening_weights
+    expect0 = (w0 + w1 + w2) * depths[0]
+    np.testing.assert_allclose(np.asarray(blended[0]), expect0, rtol=1e-5)
+
+
+def test_depth_over_cap_clamps_and_counts(rng):
+    """Depth above the cap is saturated (== running the clamped depth) and
+    every affected frame is counted — no silent OOB table indexing
+    (reference's cutoff_list is unbounded, PredictAndGenerate.py:101-118)."""
+    cfg = StereoConfig().normalized()
+    cap = float(cfg.limit_step_cap)
+    imgs = np.stack([synth_img(rng) for _ in range(3)])
+    depths = np.stack([synth_depth(rng, tmax=t) for t in (cap + 8, 5.0, cap + 20)])
+
+    ours, state = _run_jax_sequence(imgs, depths, cfg)
+    assert int(state.overflow) == 2
+    clamped, state2 = _run_jax_sequence(imgs, np.minimum(depths, cap), cfg)
+    np.testing.assert_array_equal(ours, clamped)
+    assert int(state2.overflow) == 0
+    # outputs stay sane: right half is always the original
+    np.testing.assert_array_equal(ours[:, :, W:], imgs)
+
+
+def test_plane_tables_oversized_inputs_saturate(rng):
+    """Direct build_plane_tables with over-cap depth/offset_range must yield
+    the same (in-bounds) tables as cap-saturated inputs."""
+    cfg = StereoConfig().normalized()
+    spec = WarpSpec.create(H, W, cfg)
+    cap = float(cfg.limit_step_cap)
+    depth = synth_depth(rng, tmax=cap + 16.0)
+    big_ls = np.ceil(depth.max())
+    rng_pair = jnp.asarray([cfg.offset_bg * H * big_ls / 14.0,
+                            cfg.offset_fg * H * big_ls / 14.0], jnp.float32)
+    t_over = build_plane_tables(jnp.asarray(depth), rng_pair, cfg, H,
+                                spec.max_planes)
+
+    d_cap = np.minimum(depth, cap)
+    rng_cap = jnp.asarray([cfg.offset_bg * H * cap / 14.0,
+                           cfg.offset_fg * H * cap / 14.0], jnp.float32)
+    t_cap = build_plane_tables(jnp.asarray(d_cap), rng_cap, cfg, H,
+                               spec.max_planes)
+    np.testing.assert_array_equal(np.asarray(t_over.cutoffs),
+                                  np.asarray(t_cap.cutoffs))
+    np.testing.assert_array_equal(np.asarray(t_over.offsets),
+                                  np.asarray(t_cap.offsets))
+    assert int(np.asarray(t_over.plane_valid).sum()) < spec.max_planes
+    # offsets stay inside the static shift bounds used by the compositors
+    offs = np.asarray(t_over.offsets)
+    assert offs.min() >= -spec.s_neg and offs.max() <= spec.s_pos
+
+
 def test_warp_zero_depth(rng):
     """All-zero depth (black frame path) — reference would hit ls=0."""
     cfg = StereoConfig().normalized()

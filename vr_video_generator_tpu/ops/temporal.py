@@ -26,6 +26,8 @@ class TemporalState(NamedTuple):
     d_prev2: jnp.ndarray       # (H, W) raw depth of frame t-2
     offset_range: jnp.ndarray  # (2,) smoothed (r0, r1)
     has_state: jnp.ndarray     # () bool — False only before the first frame
+    overflow: jnp.ndarray      # () i32 — frames whose scaled depth exceeded
+    #                              StereoConfig.limit_step_cap (clamped, counted)
 
     @staticmethod
     def initial(height: int, width: int) -> "TemporalState":
@@ -34,7 +36,8 @@ class TemporalState(NamedTuple):
         return TemporalState(d_prev1=jnp.zeros((height, width), jnp.float32),
                              d_prev2=jnp.zeros((height, width), jnp.float32),
                              offset_range=jnp.zeros((2,), jnp.float32),
-                             has_state=jnp.asarray(False))
+                             has_state=jnp.asarray(False),
+                             overflow=jnp.zeros((), jnp.int32))
 
 
 def temporal_scan(raw_depths: jnp.ndarray, state: TemporalState,
@@ -51,6 +54,17 @@ def temporal_scan(raw_depths: jnp.ndarray, state: TemporalState,
     depth maps costs ~30ms/batch of pure carry traffic.)
     """
     w0, w1, w2 = spec.cfg.dampening_weights
+
+    # Depth-cap guard: the static plane tables are sized for scaled depth
+    # <= limit_step_cap (WarpSpec.create / StereoConfig.max_planes). The
+    # reference's cutoff_list is unbounded (reference :101-118); an
+    # off-family checkpoint could exceed the cap, which would otherwise
+    # clamp-index the padded tables OOB and silently drop planes. Saturate
+    # the depth at the cap (graceful: far planes merge) and count affected
+    # frames so the host runtime can surface the overflow.
+    cap = jnp.float32(spec.cfg.limit_step_cap)
+    over = jnp.sum(jnp.any(raw_depths > cap, axis=(1, 2))).astype(jnp.int32)
+    raw_depths = jnp.minimum(raw_depths, cap)
 
     d1 = jnp.where(state.has_state, state.d_prev1, raw_depths[0])
     d2 = jnp.where(state.has_state, state.d_prev2, raw_depths[0])
@@ -75,5 +89,6 @@ def temporal_scan(raw_depths: jnp.ndarray, state: TemporalState,
 
     new_state = TemporalState(d_prev1=ext[-1], d_prev2=ext[-2],
                               offset_range=r_last,
-                              has_state=state.has_state | True)
+                              has_state=state.has_state | True,
+                              overflow=state.overflow + over)
     return blended, ranges, new_state

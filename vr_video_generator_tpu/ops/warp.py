@@ -60,8 +60,16 @@ def build_plane_tables(depth: jnp.ndarray, offset_range: jnp.ndarray,
     Python's round() is round-half-to-even, as is jnp.round — parity holds.
     """
     step = cfg.offset_step_size
-    ls = jnp.ceil(jnp.max(depth))
-    r0, r1 = offset_range[0], offset_range[1]
+    # Saturate at the static sizing bounds: `max_planes` and the shift tables
+    # are sized for ceil(depth.max()) <= limit_step_cap (max_planes()), so a
+    # caller handing in over-cap depth or an oversized offset_range must not
+    # push n_full past the padded axis (the reads at fill_idx / n_full-2
+    # below would clamp-index silently). The pipeline already clamps depth in
+    # temporal_scan; this keeps direct callers safe too.
+    cap = float(cfg.limit_step_cap)
+    ls = jnp.minimum(jnp.ceil(jnp.max(depth)), cap)
+    r0 = jnp.maximum(offset_range[0], cfg.offset_bg * height * cap / 14.0)
+    r1 = jnp.minimum(offset_range[1], cfg.offset_fg * height * cap / 14.0)
     round_r0 = jnp.round(r0)
     round_r1 = jnp.round(r1)
 

@@ -39,7 +39,8 @@ def batched_initial_state(n_data: int, height: int, width: int) -> TemporalState
         d_prev1=jnp.zeros((n_data, height, width), jnp.float32),
         d_prev2=jnp.zeros((n_data, height, width), jnp.float32),
         offset_range=jnp.zeros((n_data, 2), jnp.float32),
-        has_state=jnp.zeros((n_data,), jnp.bool_))
+        has_state=jnp.zeros((n_data,), jnp.bool_),
+        overflow=jnp.zeros((n_data,), jnp.int32))
 
 
 class ShardedSbsPipeline:
@@ -63,7 +64,8 @@ class ShardedSbsPipeline:
         data_sharding = NamedSharding(mesh, P("data"))
         state_shardings = TemporalState(
             d_prev1=data_sharding, d_prev2=data_sharding,
-            offset_range=data_sharding, has_state=data_sharding)
+            offset_range=data_sharding, has_state=data_sharding,
+            overflow=data_sharding)
         self._step = jax.jit(
             self._step_impl,
             in_shardings=(None, data_sharding, state_shardings),
@@ -141,7 +143,8 @@ class ShardedSbsPipeline:
 
 def _state_specs() -> TemporalState:
     return TemporalState(d_prev1=P("data"), d_prev2=P("data"),
-                         offset_range=P("data"), has_state=P("data"))
+                         offset_range=P("data"), has_state=P("data"),
+                         overflow=P("data"))
 
 
 def _local_warp(frames_local, blended_local, ranges_local, *, spec: WarpSpec,

@@ -123,6 +123,11 @@ def process_segment(pipeline: SbsPipeline, reader: VideoReader,
         writer.wait()
     decoder.join()
     meter.report(max(frames_done, 1))
+    overflow = int(np.asarray(state.overflow))
+    if overflow:
+        log.write(f"WARNING: scaled depth exceeded limit_step_cap on "
+                  f"{overflow} frames (clamped; check the encoder's "
+                  f"depth_scaler)")
     if profile_csv:
         timer.dump_csv(profile_csv)
     log.write("Worker ending")

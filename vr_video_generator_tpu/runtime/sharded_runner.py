@@ -131,5 +131,11 @@ def run_sharded(pipeline: ShardedSbsPipeline, video_path: str,
         flush(segs[i], force=True)
         segs[i].reader.close()
     writer.close()
+    overflow = sum(int(np.asarray(s.data).sum())
+                   for s in states.overflow.addressable_shards)
+    if overflow:
+        log.write(f"WARNING: scaled depth exceeded limit_step_cap on "
+                  f"{overflow} frames (clamped; check the encoder's "
+                  f"depth_scaler)")
     log.write("Sharded runner ending")
     return frames_done
