@@ -8,6 +8,7 @@ to numpy paths.
 from __future__ import annotations
 
 import ctypes
+import sys
 from typing import Optional
 
 import numpy as np
@@ -47,6 +48,7 @@ def unpack_sbs(src: np.ndarray, out: Optional[np.ndarray] = None) -> np.ndarray:
     """
     from vr_video_generator_tpu.native.build import load
 
+    assert sys.byteorder == "little", "packed-SBS unpack requires little-endian"
     lib = load()
     src = np.ascontiguousarray(src, np.uint32)
     if out is None:
@@ -58,6 +60,9 @@ def unpack_sbs(src: np.ndarray, out: Optional[np.ndarray] = None) -> np.ndarray:
 
 def unpack_sbs_np(src: np.ndarray) -> np.ndarray:
     """Numpy fallback of unpack_sbs (no native library needed)."""
+    # The r|g<<8|b<<16 word -> [r,g,b,x] byte map (here and in the C++
+    # u32_to_rgb24 strip) assumes a little-endian host.
+    assert sys.byteorder == "little", "packed-SBS unpack requires little-endian"
     src = np.ascontiguousarray(src, np.uint32)
     return src.view(np.uint8).reshape(*src.shape, 4)[..., :3]
 

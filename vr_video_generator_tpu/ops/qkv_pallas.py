@@ -95,8 +95,13 @@ def ln_qkv_pallas(x: jnp.ndarray, ln_scale: jnp.ndarray, ln_bias: jnp.ndarray,
     dh = d // heads
     assert wqkv.shape == (d, 3 * d)
     fit = _qkv_block_n(d, dt)
-    if fit is not None:
-        block_n = min(block_n, fit)
+    if fit is None:
+        # Resident (D, 3D) weights alone exceed the VMEM plan (e.g. vitg
+        # D=1536); callers must gate on attn_fusable instead of landing here
+        # with an unenforceable block_n.
+        raise ValueError(f"ln_qkv_pallas: no VMEM-feasible block for D={d} "
+                         f"({dt}); use the XLA path")
+    block_n = min(block_n, fit)
     # n_pad is the next multiple of 512 (the attention kernel's q-block
     # size); every candidate bn (512/256/128) divides it.
     n_pad = n + (-n) % 512

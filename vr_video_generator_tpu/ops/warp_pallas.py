@@ -256,6 +256,9 @@ def blur_select_pallas(composite_packed: jnp.ndarray, covered: jnp.ndarray,
                        ((0, 0), (py, py + pad_h + extra_rows),
                         (px, px + w_pad)),
                        mode="reflect")
+    # covered's grid reads span nblocks*block_rows rows; keep every block
+    # read in bounds.
+    cov_pad = jnp.pad(covered, ((0, 0), (0, pad_h), (0, 0)))
 
     kernel = functools.partial(_blur_select_kernel, kxw=tuple(kxw),
                                kyw=tuple(kyw), bh=block_rows, w=w, px=px,
@@ -276,7 +279,7 @@ def blur_select_pallas(composite_packed: jnp.ndarray, covered: jnp.ndarray,
                         pltpu.VMEM((block_rows + 2 * py, w), jnp.float32),
                         pltpu.SemaphoreType.DMA(())],
         interpret=interpret,
-    )(covered, comp_pad)
+    )(cov_pad, comp_pad)
     return out[:, :h, :]
 
 
@@ -345,6 +348,9 @@ def blur_select_sbs_pallas(composite_packed: jnp.ndarray,
                        mode="reflect")
     w_op = w + (-w) % 128
     orig_pad = jnp.pad(orig_packed, ((0, 0), (0, pad_h), (0, w_op - w)))
+    # covered's grid reads span nblocks*block_rows rows; pad like comp/orig
+    # so the last block never relies on OOB-block read behavior.
+    cov_pad = jnp.pad(covered, ((0, 0), (0, pad_h), (0, 0)))
 
     kernel = functools.partial(_blur_select_sbs_kernel, kxw=tuple(kxw),
                                kyw=tuple(kyw), bh=block_rows, w=w, px=px,
@@ -367,7 +373,7 @@ def blur_select_sbs_pallas(composite_packed: jnp.ndarray,
                         pltpu.SemaphoreType.DMA(()),
                         pltpu.SemaphoreType.DMA(())],
         interpret=interpret,
-    )(edge_width.reshape(bsz, 1).astype(jnp.int32), covered, comp_pad,
+    )(edge_width.reshape(bsz, 1).astype(jnp.int32), cov_pad, comp_pad,
       orig_pad)
     return out[:, :h, :]
 

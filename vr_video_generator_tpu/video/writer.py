@@ -77,6 +77,7 @@ class SubclipWriter:
         return rgb24; native byte-strip when the C++ tier is built."""
         if frame.dtype != np.uint32:
             return frame
+        assert frame.ndim == 2, "packed SBS frames must be 2D (H, 2W) uint32"
         if native_available():
             if (getattr(self, "_unpack_buf", None) is None
                     or self._unpack_buf.shape[:2] != frame.shape):
