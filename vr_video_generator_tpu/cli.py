@@ -54,6 +54,20 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["exact", "tanh"],
                    help="tanh-approx GELU is ~0.2 ms/frame faster at "
                         "1080p/vits; exact matches the reference")
+    p.add_argument("--sbs_output", type=str, default="auto",
+                   choices=["auto", "u8", "packed"],
+                   help="device SBS emit: u8 HWC frames or packed uint32 "
+                        "words unpacked host-side (pallas warp only)")
+    p.add_argument("--mlp_fused", type=str, default="auto",
+                   choices=["auto", "fused", "xla"],
+                   help="ViT half-block Pallas fusion policy")
+    p.add_argument("--tail", type=str, default="auto",
+                   choices=["auto", "fused", "xla"],
+                   help="DPT head tail implementation")
+    p.add_argument("--reader_backend", type=str, default="auto",
+                   choices=["auto", "cv2", "ffmpeg"])
+    p.add_argument("--writer_backend", type=str, default="auto",
+                   choices=["auto", "cv2", "ffmpeg"])
     p.add_argument("--profile_dir", type=str, default="",
                    help="write a jax.profiler trace of the conversion here")
     p.add_argument("--mesh", type=str, default="",
@@ -97,7 +111,10 @@ def parse_run_config(argv: Optional[List[str]] = None) -> tuple[RunConfig, bool]
         repair_mode=args.repair_mode, batch_size=args.batch_size,
         input_size=args.input_size, compute_dtype=args.compute_dtype,
         warp_impl=args.warp_impl, encoder_device=args.encoder_device,
-        gelu=args.gelu, profile_dir=args.profile_dir, mesh_shape=mesh_shape,
+        gelu=args.gelu, sbs_output=args.sbs_output, mlp_fused=args.mlp_fused,
+        tail=args.tail, reader_backend=args.reader_backend,
+        writer_backend=args.writer_backend,
+        profile_dir=args.profile_dir, mesh_shape=mesh_shape,
     )
     return cfg, args
 

@@ -27,7 +27,8 @@ def random_params(model: DepthAnythingV2, seed: int = 0,
 
 def load_model(encoder: str, encoder_path: Optional[str] = None,
                dtype=jnp.bfloat16, allow_random: bool = False,
-               gelu: str = "exact"):
+               gelu: str = "exact", mlp_fused: str = "auto",
+               tail: str = "auto"):
     """Build a DepthAnythingV2 and its params.
 
     Matches the reference factory's per-size configuration
@@ -35,12 +36,14 @@ def load_model(encoder: str, encoder_path: Optional[str] = None,
     and ``allow_random`` is set, falls back to seeded random weights so the
     full pipeline stays runnable without the downloaded checkpoints.
     """
+    import dataclasses
+
     cfg = ModelConfig.for_encoder(encoder)
     if gelu == "tanh":
-        import dataclasses
-
         cfg = dataclasses.replace(cfg, gelu_approx=True)
-    model = DepthAnythingV2(cfg, dtype=dtype)
+    if mlp_fused != "auto":
+        cfg = dataclasses.replace(cfg, mlp_fused=mlp_fused)
+    model = DepthAnythingV2(cfg, dtype=dtype, tail=tail)
     if encoder_path and os.path.isdir(encoder_path):
         # native Orbax checkpoint dir (models/checkpoint.py)
         from vr_video_generator_tpu.models import checkpoint

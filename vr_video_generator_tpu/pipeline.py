@@ -57,7 +57,9 @@ class SbsPipeline:
             dtype = jnp.bfloat16 if run_cfg.compute_dtype == "bfloat16" else jnp.float32
         model, params = load_model(run_cfg.encoder, run_cfg.encoder_path,
                                    dtype=dtype, allow_random=allow_random,
-                                   gelu=run_cfg.gelu)
+                                   gelu=run_cfg.gelu,
+                                   mlp_fused=run_cfg.mlp_fused,
+                                   tail=run_cfg.tail)
         return cls(model, params, height, width, run_cfg=run_cfg)
 
     def initial_state(self) -> TemporalState:

@@ -55,11 +55,13 @@ def convert_range(cfg: RunConfig, begin: int, end: int,
         if cfg.encoder_device else (None, None)
     writer = SubclipWriter(cfg.subclip_dir, fps, 2 * width, height,
                            ffmpeg_config=ffmpeg_config,
-                           max_concurrent=max(1, cfg.num_workers))
+                           max_concurrent=max(1, cfg.num_workers),
+                           backend=cfg.writer_backend)
     log = log or WorkerLog(os.path.join(cfg.debug_dir, f"segment_{begin}.txt"))
     profile_csv = os.path.join(cfg.debug_dir, f"segment_{begin}_profile.csv")
     try:
-        with VideoReader(cfg.video_dir, begin=begin) as reader:
+        with VideoReader(cfg.video_dir, begin=begin,
+                         backend=cfg.reader_backend) as reader:
             return process_segment(pipeline, reader, writer, begin, end,
                                    max_frame_count=cfg.max_frame_count,
                                    batch_size=cfg.batch_size, log=log,
@@ -95,7 +97,9 @@ def _convert_range_sharded(cfg: RunConfig, begin: int, end: int,
     try:
         return run_sharded(pipe, cfg.video_dir, cfg.subclip_dir, begin, end,
                            max_frame_count=cfg.max_frame_count,
-                           batch_size=cfg.batch_size, log=log)
+                           batch_size=cfg.batch_size, log=log,
+                           reader_backend=cfg.reader_backend,
+                           writer_backend=cfg.writer_backend)
     except Exception as e:  # error funnel parity (reference :259-272)
         log.error("Sharded conversion failed", e,
                   error_path=os.path.join(cfg.debug_dir, "ERROR.txt"))

@@ -53,6 +53,7 @@ def run_sharded(pipeline: ShardedSbsPipeline, video_path: str,
                 subclip_dir: str, start: int, end: int,
                 max_frame_count: int, batch_size: int,
                 log: Optional[WorkerLog] = None,
+                reader_backend: str = "auto",
                 writer_backend: str = "auto") -> int:
     """Convert frames [start, end) with n_data concurrent segments.
 
@@ -72,7 +73,7 @@ def run_sharded(pipeline: ShardedSbsPipeline, video_path: str,
     fps = None
     for i in owned:
         lo, hi = bounds[i]
-        reader = VideoReader(video_path, begin=lo)
+        reader = VideoReader(video_path, begin=lo, backend=reader_backend)
         fps = fps or reader.fps
         segs[i] = _Segment(begin=lo, end=hi, cursor=lo, reader=reader,
                            pending=[], clip_begin=lo)

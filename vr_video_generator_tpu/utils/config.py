@@ -181,6 +181,10 @@ class RunConfig:
     # readback costs +33% D2H (4 vs 3 bytes/pixel) — see docs/BENCHLOG.md.
     sbs_output: str = "auto"
     gelu: str = "exact"           # 'exact' (reference parity) | 'tanh' (fast)
+    mlp_fused: str = "auto"       # ViT half-block fusion: 'auto'|'fused'|'xla'
+    tail: str = "auto"            # DPT head tail impl: 'auto'|'fused'|'xla'
+    reader_backend: str = "auto"  # video decode: 'auto'|'cv2'|'ffmpeg'
+    writer_backend: str = "auto"  # subclip encode: 'auto'|'cv2'|'ffmpeg'
     profile_dir: str = ""         # jax.profiler trace output dir ("" = off)
 
     def stereo(self) -> StereoConfig:
@@ -193,4 +197,6 @@ class RunConfig:
         cfg = ModelConfig.for_encoder(self.encoder)
         if self.gelu == "tanh":
             cfg = dataclasses.replace(cfg, gelu_approx=True)
+        if self.mlp_fused != "auto":
+            cfg = dataclasses.replace(cfg, mlp_fused=self.mlp_fused)
         return cfg
