@@ -45,6 +45,48 @@ def test_state_continuity(tiny_pipeline, rng):
                                   np.concatenate([np.asarray(a), np.asarray(b)]))
 
 
+def test_primed_state_removes_segment_reset(tiny_pipeline, rng):
+    """A segment started from a warm-up-primed state is bit-identical to the
+    same frames inside one full sequential run — the reference's per-segment
+    smoothing reset (PredictAndGenerate.py:131-145) is gone."""
+    frames = rng.integers(0, 256, (12, H, W, 3), dtype=np.uint8)
+    st = tiny_pipeline.initial_state()
+    outs, states = [], []
+    for lo in range(0, 12, 4):
+        sbs, st = tiny_pipeline.step(frames[lo:lo + 4], st)
+        outs.append(np.asarray(sbs))
+        states.append(st)
+    full = np.concatenate(outs)
+
+    # warm-up window covers the whole prefix -> exact (exercises the
+    # front-pad: 6 frames at batch 4 pad 2 copies of frame 0)
+    primed = tiny_pipeline.primed_state(frames[:6], batch_size=4)
+    # snapshot before step() consumes (donates) the state buffers
+    primed_has_state = bool(np.asarray(primed.has_state))
+    primed_range = np.asarray(primed.offset_range).copy()
+    sbs, after = tiny_pipeline.step(frames[6:10], primed)
+    np.testing.assert_array_equal(np.asarray(sbs), full[6:10])
+    # ... and the carried state stays on the full-run trajectory: stepping
+    # frames [8, 12) from it reproduces the full run's final state
+    sbs2, after2 = tiny_pipeline.step(frames[8:12],
+                                      tiny_pipeline.primed_state(frames[:8],
+                                                                 batch_size=4))
+    np.testing.assert_array_equal(np.asarray(sbs2), full[8:12])
+    np.testing.assert_array_equal(np.asarray(after2.offset_range),
+                                  np.asarray(states[-1].offset_range))
+    np.testing.assert_array_equal(np.asarray(after2.d_prev1),
+                                  np.asarray(states[-1].d_prev1))
+
+    # a cold start (the reference's behavior) is a genuinely different state
+    assert primed_has_state
+    assert not bool(np.asarray(tiny_pipeline.initial_state().has_state))
+    assert not np.array_equal(primed_range, np.zeros(2, np.float32))
+
+    # empty warm-up window returns a fresh state
+    fresh = tiny_pipeline.primed_state(frames[:0], batch_size=4)
+    assert int(np.asarray(fresh.has_state)) == 0
+
+
 def test_depth_only(tiny_pipeline, rng):
     frames = rng.integers(0, 256, (2, H, W, 3), dtype=np.uint8)
     depth = np.asarray(tiny_pipeline.depth_only(frames))

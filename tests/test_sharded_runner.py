@@ -34,6 +34,53 @@ def test_partition_matches_reference_policy():
 
 
 @pytest.mark.slow
+def test_sharded_warmup_matches_full_sequential_run(tmp_path):
+    """With halo warm-up covering each slot's whole prefix, the sharded
+    runner's subclips are identical to one uninterrupted sequential run —
+    the per-segment smoothing discontinuity is gone (better than the
+    reference's per-worker reset, PredictAndGenerate.py:131-145)."""
+    video = tmp_path / "in.mp4"
+    n_frames = 16
+    write_synthetic_video(video, n_frames, h=H, w=W)
+    cfg = RunConfig(batch_size=2, input_size=56, compute_dtype="float32",
+                    max_frame_count=4)
+    model = DepthAnythingV2(TINY, dtype=jnp.float32)
+    params = random_params(model)
+
+    mesh = make_mesh((4, 2))
+    sharded = ShardedSbsPipeline(model, params, H, W, mesh, run_cfg=cfg)
+    shard_dir = str(tmp_path / "shard") + os.sep
+    # 4 slots own [0,4) [4,8) [8,12) [12,16); warmup 12 >= every slot begin
+    n = run_sharded(sharded, str(video), shard_dir, 0, n_frames,
+                    max_frame_count=4, batch_size=2, writer_backend="cv2",
+                    warmup=12)
+    assert n == n_frames
+
+    # oracle: ONE sequential segment over the whole range
+    single = SbsPipeline(model, params, H, W, run_cfg=cfg)
+    ref_dir = str(tmp_path / "ref") + os.sep
+    fps, *_ = probe_video(str(video))
+    writer = SubclipWriter(ref_dir, fps, 2 * W, H, backend="cv2")
+    with VideoReader(str(video), begin=0) as reader:
+        process_segment(single, reader, writer, 0, n_frames,
+                        max_frame_count=4, batch_size=2)
+    writer.close()
+
+    assert sorted_subclips(shard_dir) == sorted_subclips(ref_dir)
+    import cv2
+    for name in sorted_subclips(shard_dir):
+        ca = cv2.VideoCapture(os.path.join(shard_dir, name))
+        cb = cv2.VideoCapture(os.path.join(ref_dir, name))
+        while True:
+            ra, fa = ca.read()
+            rb, fb = cb.read()
+            assert ra == rb
+            if not ra:
+                break
+            np.testing.assert_array_equal(fa, fb)
+
+
+@pytest.mark.slow
 def test_sharded_runner_matches_single_device(tmp_path):
     video = tmp_path / "in.mp4"
     n_frames = 22

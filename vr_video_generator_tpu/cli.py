@@ -68,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "cv2", "ffmpeg"])
     p.add_argument("--writer_backend", type=str, default="auto",
                    choices=["auto", "cv2", "ffmpeg"])
+    p.add_argument("--warmup_frames", type=int, default=32,
+                   help="decode this many frames before each segment start "
+                        "to prime the temporal smoothing state (0 = "
+                        "reference-equal cold start)")
     p.add_argument("--profile_dir", type=str, default="",
                    help="write a jax.profiler trace of the conversion here")
     p.add_argument("--mesh", type=str, default="",
@@ -113,7 +117,7 @@ def parse_run_config(argv: Optional[List[str]] = None) -> tuple[RunConfig, bool]
         warp_impl=args.warp_impl, encoder_device=args.encoder_device,
         gelu=args.gelu, sbs_output=args.sbs_output, mlp_fused=args.mlp_fused,
         tail=args.tail, reader_backend=args.reader_backend,
-        writer_backend=args.writer_backend,
+        writer_backend=args.writer_backend, warmup_frames=args.warmup_frames,
         profile_dir=args.profile_dir, mesh_shape=mesh_shape,
     )
     return cfg, args

@@ -80,6 +80,38 @@ class SbsPipeline:
         (B, H, 2W) for host-side rgb24 unpacking (native.unpack_sbs)."""
         return self._step(self.params, jnp.asarray(frames_u8), state)
 
+    def primed_state(self, warm_frames, batch_size: int) -> TemporalState:
+        """Prime the temporal state on frames [begin-W, begin) so a segment
+        start continues the full-video sequence instead of resetting.
+
+        The reference resets its smoothing state at every segment boundary
+        (reference PredictAndGenerate.py:131-145 — per-worker state), a known
+        discontinuity (SURVEY.md §5). Feeding the preceding frames through
+        the normal step and discarding the SBS output removes it.
+
+        Exactness of batching: copies of the first fed frame are a fixed
+        point of the state — the cold start sets d1 = d2 = raw[0]
+        (ops/temporal.py), and the 50/50 offset-range EWMA is idempotent on
+        equal values — so front-padding the window to whole batches is
+        exact, and no second compiled program is needed.
+        """
+        import numpy as np
+
+        state = self.initial_state()
+        warm = np.asarray(warm_frames)
+        n = warm.shape[0]
+        if n == 0:
+            return state
+        k = -(-n // batch_size)
+        pad = k * batch_size - n
+        if pad:
+            warm = np.concatenate([np.repeat(warm[:1], pad, axis=0), warm])
+        for i in range(k):
+            _, state = self.step(warm[i * batch_size:(i + 1) * batch_size],
+                                 state)
+        # warm-up frames should not count toward the segment's overflow tally
+        return state._replace(overflow=state.overflow * 0)
+
     @functools.cached_property
     def _depth_fn(self):
         return jax.jit(functools.partial(infer_depth, self.model,

@@ -60,12 +60,25 @@ def convert_range(cfg: RunConfig, begin: int, end: int,
     log = log or WorkerLog(os.path.join(cfg.debug_dir, f"segment_{begin}.txt"))
     profile_csv = os.path.join(cfg.debug_dir, f"segment_{begin}_profile.csv")
     try:
+        init_state = None
+        if cfg.warmup_frames > 0 and begin > 0:
+            # halo warm-up: prime the temporal state on the preceding frames
+            # so this segment (or repair range) continues the full-video
+            # sequence (no reference-style reset discontinuity)
+            import numpy as np
+
+            wu_begin = max(0, begin - cfg.warmup_frames)
+            with VideoReader(cfg.video_dir, begin=wu_begin,
+                             backend=cfg.reader_backend) as wr:
+                warm = np.stack(list(wr.frames(wu_begin, begin)))
+            init_state = pipeline.primed_state(warm, cfg.batch_size)
         with VideoReader(cfg.video_dir, begin=begin,
                          backend=cfg.reader_backend) as reader:
             return process_segment(pipeline, reader, writer, begin, end,
                                    max_frame_count=cfg.max_frame_count,
                                    batch_size=cfg.batch_size, log=log,
-                                   profile_csv=profile_csv)
+                                   profile_csv=profile_csv,
+                                   initial_state=init_state)
     except Exception as e:  # error funnel parity (reference :259-272)
         log.error(f"Segment {begin} failed", e,
                   error_path=os.path.join(cfg.debug_dir, "ERROR.txt"))
@@ -99,7 +112,8 @@ def _convert_range_sharded(cfg: RunConfig, begin: int, end: int,
                            max_frame_count=cfg.max_frame_count,
                            batch_size=cfg.batch_size, log=log,
                            reader_backend=cfg.reader_backend,
-                           writer_backend=cfg.writer_backend)
+                           writer_backend=cfg.writer_backend,
+                           warmup=cfg.warmup_frames)
     except Exception as e:  # error funnel parity (reference :259-272)
         log.error("Sharded conversion failed", e,
                   error_path=os.path.join(cfg.debug_dir, "ERROR.txt"))

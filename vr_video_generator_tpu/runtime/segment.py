@@ -58,7 +58,8 @@ def process_segment(pipeline: SbsPipeline, reader: VideoReader,
                     log: Optional[WorkerLog] = None,
                     report_every: int = 1,
                     timer: Optional["StageTimer"] = None,
-                    profile_csv: Optional[str] = None) -> int:
+                    profile_csv: Optional[str] = None,
+                    initial_state=None) -> int:
     """Convert frames [begin, end); returns the number of frames written."""
     from vr_video_generator_tpu.utils.profiling import StageTimer
 
@@ -74,7 +75,8 @@ def process_segment(pipeline: SbsPipeline, reader: VideoReader,
                                daemon=True)
     decoder.start()
 
-    state = pipeline.initial_state()
+    state = (initial_state if initial_state is not None
+             else pipeline.initial_state())
     pending: List[np.ndarray] = []
     clip_begin = begin
     frames_done = 0

@@ -49,12 +49,53 @@ def partition_segments(start: int, end: int, n: int) -> List[tuple]:
     return out
 
 
+def _primed_states(pipeline: ShardedSbsPipeline, slot_begins: List[int],
+                   video_path: str, b: int, warmup: int,
+                   reader_backend: str, multi_host: bool):
+    """Per-slot halo warm-up: prime each data slot's temporal state on the
+    frames preceding its segment (the reference resets per worker,
+    PredictAndGenerate.py:131-145 — a smoothing discontinuity this removes).
+
+    Copies of a slot's first fed frame are a fixed point of the state
+    (see SbsPipeline.primed_state), so every slot is front-padded to the
+    same k = ceil(warmup/b) whole batches — including slots with no
+    preceding frames, whose all-pad window is exactly a cold start — and the
+    warm-up runs through the normal sharded step, SBS output discarded.
+    """
+    states = pipeline.initial_state()
+    if warmup <= 0 or all(lo <= 0 for lo in slot_begins):
+        return states
+    k = -(-warmup // b)
+    h, w = pipeline.height, pipeline.width
+    chunks = np.zeros((len(slot_begins), k * b, h, w, 3), np.uint8)
+    for slot_i, lo in enumerate(slot_begins):
+        wu_begin = max(0, lo - k * b)
+        with VideoReader(video_path, begin=wu_begin,
+                         backend=reader_backend) as wr:
+            warm = list(wr.frames(wu_begin, max(lo, wu_begin + 1)))
+        if lo - wu_begin == 0:          # no preceding frames: all-pad window
+            chunks[slot_i, :] = warm[0]  # == cold start, keeps k uniform
+        else:
+            warm = warm[:lo - wu_begin]
+            chunks[slot_i, :k * b - len(warm)] = warm[0]
+            chunks[slot_i, k * b - len(warm):] = warm
+    for j in range(k):
+        local = np.ascontiguousarray(chunks[:, j * b:(j + 1) * b]).reshape(
+            len(slot_begins) * b, h, w, 3)
+        if multi_host:
+            _, states = pipeline.step_local(local, states)
+        else:
+            _, states = pipeline.step(local, states)
+    return states._replace(overflow=states.overflow * 0)
+
+
 def run_sharded(pipeline: ShardedSbsPipeline, video_path: str,
                 subclip_dir: str, start: int, end: int,
                 max_frame_count: int, batch_size: int,
                 log: Optional[WorkerLog] = None,
                 reader_backend: str = "auto",
-                writer_backend: str = "auto") -> int:
+                writer_backend: str = "auto",
+                warmup: int = 0) -> int:
     """Convert frames [start, end) with n_data concurrent segments.
 
     Multi-host aware: every process runs the same (globally uniform) step
@@ -82,7 +123,9 @@ def run_sharded(pipeline: ShardedSbsPipeline, video_path: str,
 
     total = max(sum(hi - lo for lo, hi in (bounds[i] for i in owned)), 1)
     meter = ProgressMeter(total, log)
-    states = pipeline.initial_state()
+    states = _primed_states(pipeline, [bounds[i][0] for i in owned],
+                            video_path, b, warmup, reader_backend,
+                            multi_host)
     frames_done = 0
     h, w = pipeline.height, pipeline.width
     # Same trip count on every process: the longest segment anywhere decides.

@@ -185,6 +185,12 @@ class RunConfig:
     tail: str = "auto"            # DPT head tail impl: 'auto'|'fused'|'xla'
     reader_backend: str = "auto"  # video decode: 'auto'|'cv2'|'ffmpeg'
     writer_backend: str = "auto"  # subclip encode: 'auto'|'cv2'|'ffmpeg'
+    # Halo warm-up: decode this many frames before each segment start to
+    # prime the temporal state (the reference resets per segment — a known
+    # smoothing discontinuity). The 2-tap depth history is exact after 2
+    # frames; the 50/50 offset-range EWMA converges to bit-equality with the
+    # full sequential run within ~30 frames of f32 halving. 0 = cold start.
+    warmup_frames: int = 32
     profile_dir: str = ""         # jax.profiler trace output dir ("" = off)
 
     def stereo(self) -> StereoConfig:
