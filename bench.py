@@ -102,9 +102,16 @@ def run_config(config: int, gelu: str = "exact") -> dict:
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=int, default=2, choices=sorted(CONFIGS))
+    parser.add_argument("--all", action="store_true",
+                        help="run every BASELINE config; one JSON line each")
     parser.add_argument("--gelu", type=str, default="exact",
                         choices=["exact", "tanh"])
     args, _ = parser.parse_known_args()
+    if args.all:
+        for c in sorted(CONFIGS):
+            line = dict(config=c, **run_config(c, gelu=args.gelu))
+            print(json.dumps(line), flush=True)
+        return
     print(json.dumps(run_config(args.config, gelu=args.gelu)))
 
 

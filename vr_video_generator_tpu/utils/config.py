@@ -19,6 +19,9 @@ DEPTH_SCALERS = {
     "vits": 1.618,
     "vitb": 0.8,
     "vitl": 0.0208,
+    # UNVALIDATED: the reference defines no vitg scaler (no official DA-V2
+    # vitg checkpoint exists); 1.0 is a placeholder. Calibrate against a real
+    # checkpoint's depth range (target ~[0, 14]) before trusting vitg output.
     "vitg": 1.0,
 }
 
