@@ -151,7 +151,7 @@ def xla_rcu_pair(rn0, path2, k1a, b1a, k2a, b2a, k1b, b1b, k2b, b2b):
 
 @pytest.mark.parametrize("h0,w0,c,r", [(36, 64, 16, 16), (20, 48, 8, 32)])
 def test_rcu_pair_parity(h0, w0, c, r):
-    from vr_video_generator_tpu.ops.head_tail_pallas import refinenet_pre_pallas
+    from vr_video_generator_tpu.attic.refinenet_pre import refinenet_pre_pallas
 
     rng = np.random.default_rng(13)
     rn0 = jnp.asarray(rng.standard_normal((2, h0, w0, c)), jnp.float32)
@@ -170,10 +170,10 @@ def test_rcu_pair_parity(h0, w0, c, r):
 
 
 def test_rcu_plus_ext_chain_parity():
-    """refinenet_pre_pallas -> head_tail_ext_pallas(channel_major_halo) vs
+    """attic refinenet_pre -> head_tail_ext_pallas(channel_major_halo) vs
     the full XLA refinenet1+tail chain."""
-    from vr_video_generator_tpu.ops.head_tail_pallas import (
-        head_tail_ext_pallas, refinenet_pre_pallas)
+    from vr_video_generator_tpu.attic.refinenet_pre import refinenet_pre_pallas
+    from vr_video_generator_tpu.ops.head_tail_pallas import head_tail_ext_pallas
 
     rng = np.random.default_rng(17)
     h0, w0, c, c2, c3 = 36, 64, 32, 16, 8

@@ -1,10 +1,10 @@
-"""Pixel-pair packed conv (ops/packed_conv.py) parity vs plain NHWC convs."""
+"""Pixel-pair packed conv (attic/packed_conv.py) parity vs plain NHWC convs."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vr_video_generator_tpu.ops.packed_conv import (pack_pairs, packed_conv3x3,
+from vr_video_generator_tpu.attic.packed_conv import (pack_pairs, packed_conv3x3,
                                                     packed_kernel,
                                                     unpack_pairs)
 

@@ -27,9 +27,6 @@ from vr_video_generator_tpu.utils.config import ModelConfig
 
 Dtype = Any
 
-# ops/packed_conv.py pixel-pair RCUs: tested but measured slower; see below.
-_PACKED_RCU = False
-
 
 class PixelShuffleUpsample(nn.Module):
     """ConvTranspose2d with kernel_size == stride == r, padding 0.
@@ -132,42 +129,11 @@ class FeatureFusionBlock(nn.Module):
             oc = _ConvParams(self.features, self.features, (1, 1),
                              name="out_conv")()
             return r1, r2, oc
-        from vr_video_generator_tpu.ops.packed_conv import (pack_pairs,
-                                                            packable,
-                                                            packed_conv3x3,
-                                                            unpack_pairs)
-
-        # Measured slower than XLA's padded 64-channel convs at 1080p/vits
-        # (186.4 -> 182.4 fps): the block kernel's half-zero K=1152 beats
-        # the N-pad on traffic but loses on conv schedule. Kept as tested
-        # groundwork (ops/packed_conv.py), off unless explicitly enabled.
-        packed = (_PACKED_RCU and return_pre_upsample and skip is not None
-                  and packable(x) and jax.default_backend() == "tpu")
-        if packed:
-            # vits widths (C=64): run both RCUs pixel-pair packed to 128
-            # lanes — same math (ops/packed_conv.py), half the physical
-            # bf16-tile traffic, and the MXU work XLA would burn padding
-            # N=64->128 goes into the block kernel instead. Identical
-            # param tree (declared, not computed, via _RCUParams).
-            k1a, b1a, k2a, b2a = _RCUParams(self.features, name="rcu1")()
-            k1b, b1b, k2b, b2b = _RCUParams(self.features, name="rcu2")()
-
-            def rcu_packed(xp, k1, b1, k2, b2):
-                out = nn.relu(xp)
-                out = packed_conv3x3(out, k1, b1, dtype=self.dtype)
-                out = nn.relu(out)
-                out = packed_conv3x3(out, k2, b2, dtype=self.dtype)
-                return out + xp
-
-            xp = pack_pairs(x) + rcu_packed(pack_pairs(skip),
-                                            k1a, b1a, k2a, b2a)
-            x = unpack_pairs(rcu_packed(xp, k1b, b1b, k2b, b2b))
-        elif skip is not None:
+        if skip is not None:
             x = x + ResidualConvUnit(self.features, dtype=self.dtype,
                                      name="rcu1")(skip)
-        if not packed:
-            x = ResidualConvUnit(self.features, dtype=self.dtype,
-                                 name="rcu2")(x)
+        x = ResidualConvUnit(self.features, dtype=self.dtype,
+                             name="rcu2")(x)
         if return_pre_upsample:
             # fused-tail path: hand back the pre-upsample activation plus
             # out_conv's params (same tree as the nn.Conv below).
