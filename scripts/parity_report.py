@@ -48,6 +48,13 @@ def main() -> int:
                         help="where OUR pipeline runs (reference is CPU fp32)")
     parser.add_argument("--compute_dtype", default="float32",
                         choices=["float32", "bfloat16"])
+    parser.add_argument("--spread_depth", action="store_true",
+                        help="recenter+amplify the final head conv so random "
+                             "weights yield depth spanning ~[0, 9] instead of "
+                             "a near-flat map (deep encoders average the "
+                             "input away; a flat map makes the warp trivial "
+                             "and the parity vacuous). Both sides share the "
+                             "mutated weights, so the comparison stays exact.")
     args = parser.parse_args()
 
     import torch
@@ -82,8 +89,31 @@ def main() -> int:
         weights = "seeded-random"
 
     cfg = ModelConfig.for_encoder(args.encoder)
-    params = convert_state_dict(tmodel.state_dict(), cfg)
     scaler = DEPTH_SCALERS[args.encoder]
+
+    if args.spread_depth:
+        # Deep random encoders (vitl: 24 blocks) average the input away and
+        # emit a near-flat depth map (std ~1% of mean), which makes the warp
+        # a single plane and the SBS comparison vacuous. Recenter + amplify
+        # the final 1x1 head conv (output_conv2[2], reference dpt.py:109-116)
+        # so scaled depth spans ~[0, 9] with real plane structure. The
+        # mutation happens BEFORE weight conversion, so ours and the torch
+        # reference run identical weights — the comparison stays exact.
+        with VideoReader(args.video) as reader:
+            probe = next(iter(reader.frames(0, 1)))
+        with torch.no_grad():
+            raw = tmodel.infer_image(probe[:, :, ::-1],
+                                     input_size=args.input_size)
+        raw = np.asarray(raw, np.float64)
+        med, mx = float(np.median(raw)), float(raw.max())
+        g = 9.0 / max(scaler * (mx - med), 1e-12)
+        final = tmodel.depth_head.scratch.output_conv2[2]
+        with torch.no_grad():
+            final.weight.mul_(g)
+            final.bias.copy_((final.bias - med) * g)
+        print(f"spread_depth: median={med:.6g} max={mx:.6g} gain={g:.4g}")
+
+    params = convert_state_dict(tmodel.state_dict(), cfg)
 
     with VideoReader(args.video) as reader:
         frames = [f for _, f in zip(range(args.frames), reader.frames(0, args.frames))]

@@ -94,3 +94,24 @@ def test_preprocess_matches_reference_chain(rng):
     img = cv2.resize(img, (net_hw[1], net_hw[0]), interpolation=cv2.INTER_AREA)
     img = (img - [0.485, 0.456, 0.406]) / [0.229, 0.224, 0.225]
     assert np.abs(ours - img).max() < 1e-4
+
+
+def test_preprocess_folded_matches_exact(rng):
+    """The folded fast path == the exact chain up to its compute dtype:
+    f32 folded is the same linear map reassociated (tight); bf16 folded
+    (the TPU deployment path) deviates only by bf16 weight rounding, well
+    inside the parity budget (gated end-to-end in docs/BENCHLOG.md)."""
+    import jax.numpy as jnp
+
+    frame = rng.integers(0, 256, (2, 270, 480, 3), dtype=np.uint8)
+    net_hw = network_input_size(270, 480)
+    exact = np.asarray(preprocess_frames(frame, net_hw, dtype=jnp.float32))
+
+    f32 = np.asarray(preprocess_frames(frame, net_hw, dtype=jnp.float32,
+                                       impl="folded"))
+    assert np.abs(f32 - exact).max() < 1e-4
+
+    bf16 = np.asarray(preprocess_frames(frame, net_hw, dtype=jnp.bfloat16,
+                                        impl="folded").astype(jnp.float32))
+    assert np.abs(bf16 - exact).max() < 0.08
+    assert np.abs(bf16 - exact).mean() < 0.01

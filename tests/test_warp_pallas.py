@@ -71,6 +71,35 @@ def test_ragged_height(setup):
     np.testing.assert_array_equal(np.asarray(cov), np.asarray(ref_cov))
 
 
+def test_banded_compositor_matches_classic(setup):
+    """The one-rotate banded kernel == the two-rotate classic kernel ==
+    XLA, bit for bit (the smooth synth depth crosses many 5%-overlap band
+    boundaries, exercising the dual-band byte encoding)."""
+    spec, img, depth, tables = setup
+    st = build_shift_tables(tables, spec.s_neg, spec.s_pos)
+    ref_comp, ref_cov = warp_composite_static(jnp.asarray(img),
+                                              jnp.asarray(depth), st,
+                                              spec.s_neg, spec.s_pos)
+    for banded in (True, False):
+        comp, cov = warp_composite_pallas(jnp.asarray(img),
+                                          jnp.asarray(depth), st,
+                                          spec.s_neg, spec.s_pos,
+                                          interpret=True, banded=banded)
+        np.testing.assert_array_equal(np.asarray(cov), np.asarray(ref_cov))
+        np.testing.assert_array_equal(np.asarray(comp), np.asarray(ref_comp))
+
+
+def test_banded_fit_policy():
+    """4K cap-sized tables (S=133) exceed the 7-bit rank and must fall back."""
+    from vr_video_generator_tpu.ops.warp_pallas import banded_compositor_fits
+
+    cfg = StereoConfig().normalized()
+    s1080 = WarpSpec.create(1080, 1920, cfg)
+    s4k = WarpSpec.create(2160, 3840, cfg)
+    assert banded_compositor_fits(s1080.s_neg, s1080.s_pos)
+    assert not banded_compositor_fits(s4k.s_neg, s4k.s_pos)
+
+
 def test_warp_batch_pallas_matches_xla(rng):
     """Fully fused batched path (compositor + blur/select kernels) vs the
     vmapped XLA path, interpreter mode."""

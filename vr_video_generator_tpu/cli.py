@@ -68,6 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "cv2", "ffmpeg"])
     p.add_argument("--writer_backend", type=str, default="auto",
                    choices=["auto", "cv2", "ffmpeg"])
+    p.add_argument("--preprocess", type=str, default="auto",
+                   choices=["auto", "exact", "folded"],
+                   help="depth-net input preprocessing: exact f32 INTER_AREA "
+                        "or the folded bf16 fast path (auto: folded on TPU "
+                        "bf16)")
     p.add_argument("--warmup_frames", type=int, default=32,
                    help="decode this many frames before each segment start "
                         "to prime the temporal smoothing state (0 = "
@@ -115,7 +120,8 @@ def parse_run_config(argv: Optional[List[str]] = None) -> tuple[RunConfig, bool]
         repair_mode=args.repair_mode, batch_size=args.batch_size,
         input_size=args.input_size, compute_dtype=args.compute_dtype,
         warp_impl=args.warp_impl, encoder_device=args.encoder_device,
-        gelu=args.gelu, sbs_output=args.sbs_output, mlp_fused=args.mlp_fused,
+        gelu=args.gelu, preprocess=args.preprocess,
+        sbs_output=args.sbs_output, mlp_fused=args.mlp_fused,
         tail=args.tail, reader_backend=args.reader_backend,
         writer_backend=args.writer_backend, warmup_frames=args.warmup_frames,
         profile_dir=args.profile_dir, mesh_shape=mesh_shape,

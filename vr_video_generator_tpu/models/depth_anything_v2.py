@@ -44,18 +44,22 @@ class DepthAnythingV2(nn.Module):
 
 def infer_depth(model: DepthAnythingV2, params, frames_rgb_u8: jnp.ndarray,
                 input_size: int = 518, apply_scaler: bool = True,
-                out_hw: Tuple[int, int] | None = None) -> jnp.ndarray:
+                out_hw: Tuple[int, int] | None = None,
+                preprocess: str = "exact") -> jnp.ndarray:
     """uint8 RGB frames (B, H, W, 3) -> depth (B, H, W) float32.
 
     The jittable equivalent of the reference's
     ``infer_image_gpu(img) * scaler`` chain (dpt.py:190-199 +
     PredictAndGenerate.py:55): preprocess, forward, bicubic
     align_corners=True upsample to the source resolution, rescale.
+    ``preprocess``: 'exact' or the bf16 'folded' fast path
+    (ops/preprocess.preprocess_frames).
     """
     h, w = frames_rgb_u8.shape[-3], frames_rgb_u8.shape[-2]
     net_hw = network_input_size(h, w, target=input_size,
                                 multiple_of=model.cfg.patch_size)
-    x = preprocess_frames(frames_rgb_u8, net_hw, dtype=model.dtype)
+    x = preprocess_frames(frames_rgb_u8, net_hw, dtype=model.dtype,
+                          impl=preprocess)
     depth = model.apply({"params": params}, x).astype(jnp.float32)
     if out_hw is None:
         out_hw = (h, w)

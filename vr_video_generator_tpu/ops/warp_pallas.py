@@ -86,24 +86,112 @@ def _warp_kernel(lo_ref, hi_ref, valid_ref, fill_ref,  # SMEM scalars/tables
     pl.run_scoped(body, pltpu.VMEM(depth.shape, jnp.uint32))
 
 
+def _warp_kernel_banded(lo_ref, hi_ref, valid_ref, bid_ref, fill_ref,
+                        depth_ref, rgb_ref,
+                        out_ref, cov_ref,
+                        *, s_neg: int, s_pos: int):
+    """One-rotate-per-shift compositor (vs _warp_kernel's two).
+
+    Band membership is precomputed per SOURCE pixel into the packed word's
+    spare byte, so each shift rotates a single uint32 and tests the index
+    byte — the depth map is never rotated. Byte 3 encoding: bits 0-6 = rank
+    (among valid shifts, ``bid_ref``) of the pixel's lowest matching depth
+    band (127 = matches none); bit 7 = the depth also lies in the NEXT
+    valid band (the deliberate 5% band overlap, reference :173). A depth
+    matches at most two bands and they are rank-adjacent (plane bands
+    overlap only pairwise; planes sharing a shift merge — see ShiftTables),
+    so one rank + one bit is complete. Requires <= 126 valid shifts; the
+    wrappers fall back to _warp_kernel otherwise (4K's cap-sized table).
+
+    Bit-exactness: the precompute applies the identical f32 lo/hi compares
+    to the same (unrotated) depth values the classic kernel compares after
+    rotation, and the ascending-shift winner selection is unchanged.
+    """
+    depth = depth_ref[:, :]
+    fill_offset = fill_ref[0, 0]
+    shape = depth.shape
+
+    cov_ref[:, :] = jnp.zeros(shape, jnp.bool_)
+    out_ref[:, :] = jnp.zeros(shape, jnp.uint32)
+
+    def body(word_s, code_s, fill_s):
+        # code = first-match rank, +128 on a second (adjacent) match,
+        # 127 = unmatched — one scratch round-trip per live shift.
+        code_s[:, :] = jnp.full(shape, 127, jnp.int32)
+        for j in range(s_neg + s_pos + 1):
+            @pl.when(valid_ref[0, j] != 0)
+            def _(j=j):
+                m = (lo_ref[0, j] <= depth) & (depth < hi_ref[0, j])
+                c = code_s[:, :]
+                code_s[:, :] = jnp.where(
+                    m, jnp.where(c == 127, bid_ref[0, j], c | 128), c)
+
+        word_s[:, :] = rgb_ref[:, :] | (code_s[:, :].astype(jnp.uint32) << 24)
+
+        for j, s in enumerate(range(-s_neg, s_pos + 1)):
+            is_fill = s == fill_offset
+            live = (valid_ref[0, j] != 0) | is_fill
+
+            @pl.when(live)
+            def _(j=j, s=s, is_fill=is_fill):
+                rolled = _roll_lanes(word_s[:, :], s)
+                iv = (rolled >> 24).astype(jnp.int32)
+                bj = bid_ref[0, j]
+                # code iv: vlo (single match) or vlo+128 (dual). This band
+                # matches when it is the pixel's first band (iv == bj,
+                # iv == bj + 128) or the dual second band vlo + 1
+                # (iv == bj + 127) — three flat compares, no byte decode.
+                m = ((valid_ref[0, j] != 0)
+                     & ((iv == bj) | (iv == bj + 127) | (iv == bj + 128)))
+                out_ref[:, :] = jnp.where(m, rolled, out_ref[:, :])
+                cov_ref[:, :] = cov_ref[:, :] | m
+
+                @pl.when(is_fill)
+                def _():
+                    fill_s[:, :] = rolled
+
+        out_ref[:, :] = jnp.where(cov_ref[:, :], out_ref[:, :],
+                                  fill_s[:, :]) & jnp.uint32(0x00FFFFFF)
+
+    pl.run_scoped(body, pltpu.VMEM(shape, jnp.uint32),
+                  pltpu.VMEM(shape, jnp.int32), pltpu.VMEM(shape, jnp.uint32))
+
+
+def banded_compositor_fits(s_neg: int, s_pos: int) -> bool:
+    """The banded kernel's 7-bit rank covers <= 126 valid shifts. 480p-1440p
+    cap-sized tables fit; 4K (S=133 at limit_step_cap=24) falls back."""
+    return s_neg + s_pos + 1 <= 126
+
+
 def warp_composite_pallas_packed(img_u8: jnp.ndarray, depth: jnp.ndarray,
                                  st: ShiftTables, s_neg: int, s_pos: int,
                                  block_rows: int = 32,
-                                 interpret: bool = False
+                                 interpret: bool = False,
+                                 banded: bool | None = None
                                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Like warp_composite_pallas but returns (packed u32 (H, W), covered),
     for fusion with the packed blur/select kernel."""
     img32 = img_u8.astype(jnp.uint32)
     packed = img32[..., 0] | (img32[..., 1] << 8) | (img32[..., 2] << 16)
     return _composite_prepacked(packed, depth, st, s_neg, s_pos,
-                                block_rows=block_rows, interpret=interpret)
+                                block_rows=block_rows, interpret=interpret,
+                                banded=banded)
 
 
 def _composite_prepacked(packed: jnp.ndarray, depth: jnp.ndarray,
                          st: ShiftTables, s_neg: int, s_pos: int,
-                         block_rows: int = 32, interpret: bool = False
+                         block_rows: int = 32, interpret: bool = False,
+                         banded: bool | None = None
                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     h, w = packed.shape
+    if banded is None:
+        # Measured on the attached chip (1080p b=8, quiet host): banded
+        # 0.555 vs classic 0.511 ms/frame — the precompute's band-table
+        # pass + scratch round-trips cost more than the saved rotate.
+        # Honest negative result; opt-in for future chips where cross-lane
+        # rotates are relatively more expensive.
+        banded = False
+    banded = banded and banded_compositor_fits(s_neg, s_pos)
     # Shape the shift tables (1, S_pad) with a lane-aligned minor dim: under
     # vmap the batched SMEM arrays become (B, 1, S_pad) and each program's
     # block is the fully-mapped (1, S_pad) — the layout Pallas accepts.
@@ -111,7 +199,8 @@ def _composite_prepacked(packed: jnp.ndarray, depth: jnp.ndarray,
     pad = (-size) % 128
     lo = jnp.pad(st.lo, (0, pad), constant_values=jnp.inf)[None]
     hi = jnp.pad(st.hi, (0, pad), constant_values=-jnp.inf)[None]
-    valid = jnp.pad(st.valid.astype(jnp.int32), (0, pad))[None]
+    valid_i = st.valid.astype(jnp.int32)
+    valid = jnp.pad(valid_i, (0, pad))[None]
 
     grid = (pl.cdiv(h, block_rows),)
     row_block = pl.BlockSpec((block_rows, w), lambda i: (i, 0),
@@ -122,17 +211,26 @@ def _composite_prepacked(packed: jnp.ndarray, depth: jnp.ndarray,
         jax.ShapeDtypeStruct((h, w), jnp.uint32),
         jax.ShapeDtypeStruct((h, w), jnp.bool_),
     )
-    kernel = functools.partial(_warp_kernel, s_neg=s_neg, s_pos=s_pos)
+    fill = jnp.broadcast_to(st.fill_offset, (1, 128))
+    if banded:
+        # rank of each valid shift among valid shifts (invalid: don't care)
+        bid = jnp.pad(jnp.cumsum(valid_i) - valid_i, (0, pad))[None]
+        kernel = functools.partial(_warp_kernel_banded, s_neg=s_neg,
+                                   s_pos=s_pos)
+        args = (lo, hi, valid, bid, fill, depth, packed)
+        n_smem = 5
+    else:
+        kernel = functools.partial(_warp_kernel, s_neg=s_neg, s_pos=s_pos)
+        args = (lo, hi, valid, fill, depth, packed)
+        n_smem = 4
     out_packed, covered = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[smem_vec, smem_vec, smem_vec, smem_vec,
-                  row_block, row_block],
+        in_specs=[smem_vec] * n_smem + [row_block, row_block],
         out_specs=(row_block, row_block),
         out_shape=out_shapes,
         interpret=interpret,
-    )(lo, hi, valid, jnp.broadcast_to(st.fill_offset, (1, 128)),
-      depth, packed)
+    )(*args)
     return out_packed, covered
 
 
@@ -145,13 +243,14 @@ def _unpack_rgb(packed: jnp.ndarray) -> jnp.ndarray:
 def warp_composite_pallas(img_u8: jnp.ndarray, depth: jnp.ndarray,
                           st: ShiftTables, s_neg: int, s_pos: int,
                           block_rows: int = 32,
-                          interpret: bool = False
+                          interpret: bool = False,
+                          banded: bool | None = None
                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(H, W, 3) uint8 + (H, W) f32 depth -> (composite (H, W, 3) uint8,
     covered (H, W) bool). Drop-in for ops/warp.warp_composite_static."""
     out_packed, covered = warp_composite_pallas_packed(
         img_u8, depth, st, s_neg, s_pos, block_rows=block_rows,
-        interpret=interpret)
+        interpret=interpret, banded=banded)
     return _unpack_rgb(out_packed), covered
 
 

@@ -59,6 +59,9 @@ class ShardedSbsPipeline:
         self.height, self.width = height, width
         self.spec = WarpSpec.create(height, width, self.run_cfg.stereo(),
                                     impl=self.run_cfg.warp_impl)
+        from vr_video_generator_tpu.pipeline import _resolve_preprocess
+
+        self.preprocess_impl = _resolve_preprocess(self.run_cfg, model)
         self.params = shard_params(params, mesh)
 
         data_sharding = NamedSharding(mesh, P("data"))
@@ -98,7 +101,8 @@ class ShardedSbsPipeline:
         b = n // d
 
         depth = infer_depth(self.model, params, frames_u8,
-                            input_size=self.run_cfg.input_size)
+                            input_size=self.run_cfg.input_size,
+                            preprocess=self.preprocess_impl)
         depth = jax.lax.with_sharding_constraint(
             depth, NamedSharding(self.mesh, P("data")))
 

@@ -48,6 +48,7 @@ class SbsPipeline:
         if emit == "auto":
             emit = "u8"  # packed is opt-in: device win ~0.02 ms/frame, D2H +33%
         self.sbs_emit = emit
+        self.preprocess_impl = _resolve_preprocess(self.run_cfg, model)
         self._step = jax.jit(self._step_impl, donate_argnums=(2,))
 
     @classmethod
@@ -68,7 +69,8 @@ class SbsPipeline:
     def _step_impl(self, params, frames_u8: jnp.ndarray,
                    state: TemporalState) -> Tuple[jnp.ndarray, TemporalState]:
         depth = infer_depth(self.model, params, frames_u8,
-                            input_size=self.run_cfg.input_size)
+                            input_size=self.run_cfg.input_size,
+                            preprocess=self.preprocess_impl)
         blended, ranges, state = temporal_scan(depth, state, self.spec)
         sbs = self.spec.warp_batch(frames_u8, blended, ranges,
                                    emit=self.sbs_emit)
@@ -120,3 +122,11 @@ class SbsPipeline:
     def depth_only(self, frames_u8) -> jnp.ndarray:
         """Depth maps at source resolution (scaled) — debugging/benchmarks."""
         return self._depth_fn(self.params, jnp.asarray(frames_u8))
+
+
+def _resolve_preprocess(run_cfg: RunConfig, model: DepthAnythingV2) -> str:
+    pre = run_cfg.preprocess
+    if pre == "auto":
+        pre = ("folded" if (jax.default_backend() == "tpu"
+                            and model.dtype == jnp.bfloat16) else "exact")
+    return pre

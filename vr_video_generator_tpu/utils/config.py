@@ -184,6 +184,10 @@ class RunConfig:
     # readback costs +33% D2H (4 vs 3 bytes/pixel) — see docs/BENCHLOG.md.
     sbs_output: str = "auto"
     gelu: str = "exact"           # 'exact' (reference parity) | 'tanh' (fast)
+    # Depth-net input preprocessing: 'exact' (f32 INTER_AREA + normalize,
+    # reference-equal), 'folded' (bf16 GEMMs, /255+normalize folded — the
+    # fast path, -0.17 ms/frame at 1080p), 'auto' = folded on TPU bf16.
+    preprocess: str = "auto"
     mlp_fused: str = "auto"       # ViT half-block fusion: 'auto'|'fused'|'xla'
     tail: str = "auto"            # DPT head tail impl: 'auto'|'fused'|'xla'
     reader_backend: str = "auto"  # video decode: 'auto'|'cv2'|'ffmpeg'
