@@ -30,7 +30,7 @@ CONFIGS = {
 }
 
 
-def run_config(config: int, gelu: str = "exact") -> dict:
+def run_config(config: int, gelu: str = "exact", mesh_shape=None) -> dict:
     import jax
 
     from vr_video_generator_tpu.utils.cache import enable_compilation_cache
@@ -54,6 +54,9 @@ def run_config(config: int, gelu: str = "exact") -> dict:
     model = DepthAnythingV2(cfg.model(),
                             dtype=jnp.bfloat16 if on_tpu else jnp.float32)
     params = random_params(model)
+    if mesh_shape is not None:
+        return _run_sharded(model, params, h, w, b, cfg, mesh_shape,
+                            k_steps=8 if on_tpu else 2)
     pipe = SbsPipeline(model, params, h, w, run_cfg=cfg)
 
     k_steps = 8 if on_tpu else 2
@@ -99,6 +102,64 @@ def run_config(config: int, gelu: str = "exact") -> dict:
     }
 
 
+def _run_sharded(model, params, h, w, b, cfg, mesh_shape, k_steps) -> dict:
+    """Same chained-scan measurement through ShardedSbsPipeline._step_impl.
+
+    mesh=(1,1) on the single attached chip runs the EXACT scale-out program
+    (shard_map temporal scan + pallas warp under the mesh, sharded params)
+    so its fps is directly comparable to the single-chip SbsPipeline number
+    (VERDICT r2 missing #3: the sharded path had only ever run on virtual
+    CPU meshes)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vr_video_generator_tpu.parallel.mesh import make_mesh
+    from vr_video_generator_tpu.parallel.sharded import ShardedSbsPipeline
+
+    mesh = make_mesh(tuple(mesh_shape))
+    pipe = ShardedSbsPipeline(model, params, h, w, mesh, run_cfg=cfg)
+    n = pipe.n_data * b
+
+    @jax.jit
+    def chained(params, frames, state):
+        def body(carry, _):
+            frames, state = carry
+            sbs, state = pipe._step_impl(params, frames, state)
+            cs = jnp.sum(sbs, dtype=jnp.uint32)
+            frames = jnp.where(cs == jnp.uint32(0xFFFFFFFF), frames ^ 1, frames)
+            return (frames, state), cs
+        (_, state), sums = jax.lax.scan(body, (frames, state), None,
+                                        length=k_steps)
+        return sums, state
+
+    rng = np.random.default_rng(0)
+    frames = jax.device_put(
+        rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8),
+        NamedSharding(mesh, P("data")))
+
+    sums, _ = chained(pipe.params, frames, pipe.initial_state())
+    _ = np.asarray(sums)
+
+    best = float("inf")
+    for _ in range(3):
+        state = pipe.initial_state()
+        t0 = time.perf_counter()
+        sums, _ = chained(pipe.params, frames, state)
+        _ = np.asarray(sums)
+        best = min(best, time.perf_counter() - t0)
+
+    fps = k_steps * n / best
+    baseline_fps = 12.0
+    d, m = mesh.shape["data"], mesh.shape["model"]
+    return {
+        "metric": f"sbs_fps_{h}p_{model.cfg.encoder}_sharded_mesh{d}x{m}",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / baseline_fps, 2),
+    }
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=int, default=2, choices=sorted(CONFIGS))
@@ -106,13 +167,22 @@ def main() -> None:
                         help="run every BASELINE config; one JSON line each")
     parser.add_argument("--gelu", type=str, default="exact",
                         choices=["exact", "tanh"])
+    parser.add_argument("--sharded", type=str, default="",
+                        help="run through ShardedSbsPipeline on a DxM mesh, "
+                             "e.g. --sharded 1x1 (the attached single chip)")
     args, _ = parser.parse_known_args()
+    mesh_shape = None
+    if args.sharded:
+        mesh_shape = tuple(int(v)
+                           for v in args.sharded.replace("x", ",").split(","))
     if args.all:
         for c in sorted(CONFIGS):
-            line = dict(config=c, **run_config(c, gelu=args.gelu))
+            line = dict(config=c, **run_config(c, gelu=args.gelu,
+                                               mesh_shape=mesh_shape))
             print(json.dumps(line), flush=True)
         return
-    print(json.dumps(run_config(args.config, gelu=args.gelu)))
+    print(json.dumps(run_config(args.config, gelu=args.gelu,
+                                mesh_shape=mesh_shape)))
 
 
 if __name__ == "__main__":
