@@ -165,10 +165,13 @@ def main() -> int:
         if not args.video and not os.path.exists(video):
             synth_clip(video, h, w)
 
-        if encoder not in golden_cache:
-            golden_cache[encoder] = depth_golden(
+        # Key by (encoder, clip): configs sharing an encoder run different
+        # geometry clips, and the depth-range/step-cap gate must be judged
+        # on the clip this row's parity run actually saw.
+        if (encoder, video) not in golden_cache:
+            golden_cache[encoder, video] = depth_golden(
                 encoder, ckpt, video, args.frames, args.input_size)
-        row["golden_depth"] = golden_cache[encoder]
+        row["golden_depth"] = golden_cache[encoder, video]
 
         cmd = [sys.executable, os.path.join(ROOT, "scripts/parity_report.py"),
                "--video", video, "--frames", str(args.frames),

@@ -33,6 +33,44 @@ def test_partition_matches_reference_policy():
     assert partition_segments(5, 7, 4) == [(5, 6), (6, 7), (7, 7), (7, 7)]
 
 
+def test_primed_states_globally_uniform_trip_count(tmp_path):
+    """The warm-up step count must be decided by ALL slots' begins, not the
+    local process's: a host owning only 0-start slots still runs the k
+    global SPMD warm-up steps when any other host's slot has preceding
+    frames (a per-process early return would desync the collectives)."""
+    from collections import namedtuple
+
+    from vr_video_generator_tpu.runtime.sharded_runner import _primed_states
+
+    video = tmp_path / "in.mp4"
+    write_synthetic_video(video, 8, h=H, w=W)
+    St = namedtuple("St", "overflow")
+
+    class StubPipe:
+        height, width = H, W
+
+        def __init__(self):
+            self.calls = 0
+
+        def initial_state(self):
+            return St(overflow=np.zeros((1,), np.int32))
+
+        def step_local(self, local, states):
+            self.calls += 1
+            assert local.shape == (2, H, W, 3)
+            return None, states
+
+    pipe = StubPipe()
+    _primed_states(pipe, [0], str(video), b=2, warmup=4,
+                   reader_backend="cv2", multi_host=True, any_preceding=True)
+    assert pipe.calls == 2  # k = ceil(warmup/b), despite the local lo == 0
+
+    pipe = StubPipe()  # and the skip is likewise global
+    _primed_states(pipe, [0], str(video), b=2, warmup=4,
+                   reader_backend="cv2", multi_host=True, any_preceding=False)
+    assert pipe.calls == 0
+
+
 @pytest.mark.slow
 def test_sharded_warmup_matches_full_sequential_run(tmp_path):
     """With halo warm-up covering each slot's whole prefix, the sharded

@@ -89,6 +89,24 @@ def test_banded_compositor_matches_classic(setup):
         np.testing.assert_array_equal(np.asarray(comp), np.asarray(ref_comp))
 
 
+def test_banded_unmatched_depth_falls_to_fill(setup):
+    """A depth outside every band must hole-fill, not be claimed by the
+    rank-0 shift: the unmatched sentinel (254) must avoid the bj == 0
+    dual-band compare bj + 127 (a 127 sentinel collides with it)."""
+    spec, img, depth, tables = setup
+    st = build_shift_tables(tables, spec.s_neg, spec.s_pos)
+    depth = np.array(depth, copy=True)
+    depth[3, 5:9] = 1e6  # above every band's hi -> matches no band
+    ref_comp, ref_cov = warp_composite_static(jnp.asarray(img),
+                                              jnp.asarray(depth), st,
+                                              spec.s_neg, spec.s_pos)
+    comp, cov = warp_composite_pallas(jnp.asarray(img), jnp.asarray(depth),
+                                      st, spec.s_neg, spec.s_pos,
+                                      interpret=True, banded=True)
+    np.testing.assert_array_equal(np.asarray(cov), np.asarray(ref_cov))
+    np.testing.assert_array_equal(np.asarray(comp), np.asarray(ref_comp))
+
+
 def test_banded_fit_policy():
     """4K cap-sized tables (S=133) exceed the 7-bit rank and must fall back."""
     from vr_video_generator_tpu.ops.warp_pallas import banded_compositor_fits

@@ -116,15 +116,19 @@ def _warp_kernel_banded(lo_ref, hi_ref, valid_ref, bid_ref, fill_ref,
 
     def body(word_s, code_s, fill_s):
         # code = first-match rank, +128 on a second (adjacent) match,
-        # 127 = unmatched — one scratch round-trip per live shift.
-        code_s[:, :] = jnp.full(shape, 127, jnp.int32)
+        # 254 = unmatched — one scratch round-trip per live shift. The
+        # sentinel must avoid every compare set below: ranks occupy [0, 125]
+        # and bj+127 / bj+128 occupy [127, 253], so 254 is the first value a
+        # no-band pixel can hold without being claimed by the bj == 0 shift
+        # (127 would collide with its bj + 127 dual-band compare).
+        code_s[:, :] = jnp.full(shape, 254, jnp.int32)
         for j in range(s_neg + s_pos + 1):
             @pl.when(valid_ref[0, j] != 0)
             def _(j=j):
                 m = (lo_ref[0, j] <= depth) & (depth < hi_ref[0, j])
                 c = code_s[:, :]
                 code_s[:, :] = jnp.where(
-                    m, jnp.where(c == 127, bid_ref[0, j], c | 128), c)
+                    m, jnp.where(c == 254, bid_ref[0, j], c | 128), c)
 
         word_s[:, :] = rgb_ref[:, :] | (code_s[:, :].astype(jnp.uint32) << 24)
 

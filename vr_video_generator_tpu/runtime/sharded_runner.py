@@ -51,7 +51,8 @@ def partition_segments(start: int, end: int, n: int) -> List[tuple]:
 
 def _primed_states(pipeline: ShardedSbsPipeline, slot_begins: List[int],
                    video_path: str, b: int, warmup: int,
-                   reader_backend: str, multi_host: bool):
+                   reader_backend: str, multi_host: bool,
+                   any_preceding: bool):
     """Per-slot halo warm-up: prime each data slot's temporal state on the
     frames preceding its segment (the reference resets per worker,
     PredictAndGenerate.py:131-145 — a smoothing discontinuity this removes).
@@ -61,27 +62,44 @@ def _primed_states(pipeline: ShardedSbsPipeline, slot_begins: List[int],
     same k = ceil(warmup/b) whole batches — including slots with no
     preceding frames, whose all-pad window is exactly a cold start — and the
     warm-up runs through the normal sharded step, SBS output discarded.
+
+    ``any_preceding`` must be computed from ALL slots' begins, not just this
+    process's owned slots: the warm-up steps launch the global SPMD program,
+    so either every process takes the early return or none may (a per-process
+    decision would leave the hosts whose slots start at 0 out of the
+    collectives and deadlock the rest).
     """
     states = pipeline.initial_state()
-    if warmup <= 0 or all(lo <= 0 for lo in slot_begins):
+    if warmup <= 0 or not any_preceding:
         return states
     k = -(-warmup // b)
     h, w = pipeline.height, pipeline.width
-    chunks = np.zeros((len(slot_begins), k * b, h, w, 3), np.uint8)
-    for slot_i, lo in enumerate(slot_begins):
+
+    def window(lo: int):
+        # Lazy k*b-frame window: front-pad copies of the first decoded frame,
+        # then the real preceding frames. Streaming one batch column per step
+        # bounds host memory at n_slots*b frames instead of staging the whole
+        # n_slots*k*b warm-up (multi-GB at 4K geometries).
         wu_begin = max(0, lo - k * b)
+        n_real = max(lo - wu_begin, 1)
         with VideoReader(video_path, begin=wu_begin,
                          backend=reader_backend) as wr:
-            warm = list(wr.frames(wu_begin, max(lo, wu_begin + 1)))
-        if lo - wu_begin == 0:          # no preceding frames: all-pad window
-            chunks[slot_i, :] = warm[0]  # == cold start, keeps k uniform
-        else:
-            warm = warm[:lo - wu_begin]
-            chunks[slot_i, :k * b - len(warm)] = warm[0]
-            chunks[slot_i, k * b - len(warm):] = warm
-    for j in range(k):
-        local = np.ascontiguousarray(chunks[:, j * b:(j + 1) * b]).reshape(
-            len(slot_begins) * b, h, w, 3)
+            it = iter(wr.frames(wu_begin, max(lo, wu_begin + 1)))
+            frame = next(it)
+            for _ in range(k * b - n_real):
+                yield frame
+            yield frame
+            for _ in range(n_real - 1):
+                frame = next(it, frame)  # short read: repeat the last frame
+                yield frame
+
+    gens = [window(lo) for lo in slot_begins]
+    for _ in range(k):
+        local = np.empty((len(slot_begins), b, h, w, 3), np.uint8)
+        for slot_i, gen in enumerate(gens):
+            for j in range(b):
+                local[slot_i, j] = next(gen)
+        local = local.reshape(len(slot_begins) * b, h, w, 3)
         if multi_host:
             _, states = pipeline.step_local(local, states)
         else:
@@ -125,7 +143,8 @@ def run_sharded(pipeline: ShardedSbsPipeline, video_path: str,
     meter = ProgressMeter(total, log)
     states = _primed_states(pipeline, [bounds[i][0] for i in owned],
                             video_path, b, warmup, reader_backend,
-                            multi_host)
+                            multi_host,
+                            any_preceding=any(lo > 0 for lo, _ in bounds))
     frames_done = 0
     h, w = pipeline.height, pipeline.width
     # Same trip count on every process: the longest segment anywhere decides.
@@ -175,8 +194,11 @@ def run_sharded(pipeline: ShardedSbsPipeline, video_path: str,
         flush(segs[i], force=True)
         segs[i].reader.close()
     writer.close()
-    overflow = sum(int(np.asarray(s.data).sum())
-                   for s in states.overflow.addressable_shards)
+    # overflow is (n_data,) sharded P("data"): each data shard is replicated
+    # across the model axis, so dedupe by data index (like the sbs readback)
+    # or the tally overcounts by n_model.
+    overflow = sum({s.index[0].start or 0: int(np.asarray(s.data).sum())
+                    for s in states.overflow.addressable_shards}.values())
     if overflow:
         log.write(f"WARNING: scaled depth exceeded limit_step_cap on "
                   f"{overflow} frames (clamped; check the encoder's "
