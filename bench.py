@@ -30,7 +30,8 @@ CONFIGS = {
 }
 
 
-def run_config(config: int, gelu: str = "exact", mesh_shape=None) -> dict:
+def run_config(config: int, gelu: str = "exact", mesh_shape=None,
+               depth_stride: int = 1) -> dict:
     import jax
 
     from vr_video_generator_tpu.utils.cache import enable_compilation_cache
@@ -50,7 +51,8 @@ def run_config(config: int, gelu: str = "exact", mesh_shape=None) -> dict:
         encoder, h, w, b = "vits", 270, 480, 2
 
     cfg = RunConfig(batch_size=b, input_size=518 if on_tpu else 126,
-                    offset_step_size=step, encoder=encoder, gelu=gelu)
+                    offset_step_size=step, encoder=encoder, gelu=gelu,
+                    depth_stride=depth_stride)
     model = DepthAnythingV2(cfg.model(),
                             dtype=jnp.bfloat16 if on_tpu else jnp.float32)
     params = random_params(model)
@@ -84,8 +86,11 @@ def run_config(config: int, gelu: str = "exact", mesh_shape=None) -> dict:
     sums, _ = chained(params, frames, pipe.initial_state())  # compile+warmup
     _ = np.asarray(sums)
 
+    # best-of-6: the relay/host load drifts on minute scales (BENCHLOG
+    # measured 174-192 fps from the same binary across one day); more
+    # samples make one recorded run a fairer estimate of the binary.
     best = float("inf")
-    for _ in range(3):
+    for _ in range(6):
         state = pipe.initial_state()
         t0 = time.perf_counter()
         sums, _ = chained(params, frames, state)
@@ -94,8 +99,9 @@ def run_config(config: int, gelu: str = "exact", mesh_shape=None) -> dict:
 
     fps = k_steps * b / best
     baseline_fps = 12.0  # reference Journal.txt:33 (2.5x realtime at 30fps)
+    stride_tag = f"_stride{depth_stride}" if depth_stride > 1 else ""
     return {
-        "metric": f"sbs_fps_{h}p_{encoder}_depth_warp_fused",
+        "metric": f"sbs_fps_{h}p_{encoder}_depth_warp_fused{stride_tag}",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline_fps, 2),
@@ -142,7 +148,7 @@ def _run_sharded(model, params, h, w, b, cfg, mesh_shape, k_steps) -> dict:
     _ = np.asarray(sums)
 
     best = float("inf")
-    for _ in range(3):
+    for _ in range(6):
         state = pipe.initial_state()
         t0 = time.perf_counter()
         sums, _ = chained(pipe.params, frames, state)
@@ -152,8 +158,11 @@ def _run_sharded(model, params, h, w, b, cfg, mesh_shape, k_steps) -> dict:
     fps = k_steps * n / best
     baseline_fps = 12.0
     d, m = mesh.shape["data"], mesh.shape["model"]
+    stride = cfg.depth_stride
+    stride_tag = f"_stride{stride}" if stride > 1 else ""
     return {
-        "metric": f"sbs_fps_{h}p_{model.cfg.encoder}_sharded_mesh{d}x{m}",
+        "metric": f"sbs_fps_{h}p_{model.cfg.encoder}_sharded_mesh{d}x{m}"
+                  f"{stride_tag}",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline_fps, 2),
@@ -170,6 +179,9 @@ def main() -> None:
     parser.add_argument("--sharded", type=str, default="",
                         help="run through ShardedSbsPipeline on a DxM mesh, "
                              "e.g. --sharded 1x1 (the attached single chip)")
+    parser.add_argument("--depth_stride", type=int, default=1,
+                        help="opt-in depth-stride production mode (depth "
+                             "net on every s-th frame; 1 = parity default)")
     args, _ = parser.parse_known_args()
     mesh_shape = None
     if args.sharded:
@@ -178,11 +190,13 @@ def main() -> None:
     if args.all:
         for c in sorted(CONFIGS):
             line = dict(config=c, **run_config(c, gelu=args.gelu,
-                                               mesh_shape=mesh_shape))
+                                               mesh_shape=mesh_shape,
+                                               depth_stride=args.depth_stride))
             print(json.dumps(line), flush=True)
         return
     print(json.dumps(run_config(args.config, gelu=args.gelu,
-                                mesh_shape=mesh_shape)))
+                                mesh_shape=mesh_shape,
+                                depth_stride=args.depth_stride)))
 
 
 if __name__ == "__main__":

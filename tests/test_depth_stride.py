@@ -1,0 +1,158 @@
+"""Depth-stride production mode: anchored depth + causal interpolation.
+
+Opt-in capability the reference cannot express (its per-frame architecture
+recomputes depth for every frame, reference PredictAndGenerate.py:218-231).
+Contract under test:
+
+  * anchor frames (the last of each stride group) get their raw depth
+    bit-for-bit;
+  * in-between frames are an exact linear interpolation of the surrounding
+    anchors; group 0 of a cold start holds anchor 0;
+  * the anchor carry makes batched processing bit-identical to one long
+    batch (no cross-batch lookahead);
+  * depth_stride=1 is the untouched parity path;
+  * the sharded pipeline runs the identical per-slot semantics.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from tests.test_pipeline import TINY, H, W
+from vr_video_generator_tpu.models.depth_anything_v2 import DepthAnythingV2
+from vr_video_generator_tpu.models.factory import random_params
+from vr_video_generator_tpu.ops.temporal import TemporalState, stride_interpolate
+from vr_video_generator_tpu.pipeline import SbsPipeline
+from vr_video_generator_tpu.utils.config import RunConfig
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    model = DepthAnythingV2(TINY, dtype=jnp.float32)
+    return model, random_params(model)
+
+
+def make_pipeline(tiny_model, stride, batch):
+    model, params = tiny_model
+    cfg = RunConfig(batch_size=batch, input_size=56, compute_dtype="float32",
+                    depth_stride=stride)
+    return SbsPipeline(model, params, H, W, run_cfg=cfg)
+
+
+# ---------------------------------------------------------------- unit level
+
+def test_stride_interpolate_weights_and_anchor_exactness(rng):
+    anchors = jnp.asarray(rng.random((3, 4, 5), dtype=np.float32))
+    st = TemporalState.initial(4, 5, depth_stride=2)
+    st = st._replace(anchor_prev=jnp.asarray(rng.random((4, 5), np.float32)),
+                     has_state=jnp.asarray(True))
+    depths, last = stride_interpolate(anchors, st, 2)
+    assert depths.shape == (6, 4, 5)
+    a = np.asarray(anchors)
+    prev = np.asarray(st.anchor_prev)
+    # odd indices (group ends) are the anchors, bit-for-bit
+    np.testing.assert_array_equal(np.asarray(depths)[1::2], a)
+    # even indices are the midpoint of (previous anchor, this anchor)
+    np.testing.assert_allclose(np.asarray(depths)[0], 0.5 * (prev + a[0]),
+                               rtol=0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(depths)[2], 0.5 * (a[0] + a[1]),
+                               rtol=0, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(last), a[-1])
+
+
+def test_stride_interpolate_cold_start_holds_first_anchor(rng):
+    anchors = jnp.asarray(rng.random((2, 4, 5), dtype=np.float32))
+    st = TemporalState.initial(4, 5, depth_stride=4)
+    depths, _ = stride_interpolate(anchors, st, 4)
+    a = np.asarray(anchors)
+    # group 0: lerp(anchor0, anchor0) = anchor0 for every frame
+    for j in range(4):
+        np.testing.assert_array_equal(np.asarray(depths)[j], a[0])
+    # group 1: proper interpolation toward anchor1
+    np.testing.assert_allclose(np.asarray(depths)[5],
+                               0.5 * (a[0] + a[1]), rtol=0, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(depths)[7], a[1])
+
+
+# ------------------------------------------------------------ pipeline level
+
+def test_stride_pipeline_batch_continuity(tiny_model, rng):
+    """Two 4-frame batches with carried state == one 8-frame batch."""
+    pipe = make_pipeline(tiny_model, stride=2, batch=4)
+    frames = rng.integers(0, 256, (8, H, W, 3), dtype=np.uint8)
+    full, _ = pipe.step(frames, pipe.initial_state())
+    st = pipe.initial_state()
+    a, st = pipe.step(frames[:4], st)
+    b, _ = pipe.step(frames[4:], st)
+    np.testing.assert_array_equal(
+        np.asarray(full), np.concatenate([np.asarray(a), np.asarray(b)]))
+
+
+def test_stride_equals_parity_path_on_static_video(tiny_model, rng):
+    """On a static scene every anchor sees the same image, interpolation is
+    the identity, and the strided output equals the stride-1 output.
+
+    stride=2 keeps the lerp weights at {0.5, 1.0}, which are exact on equal
+    endpoints in f32 (a*0.5 + a*0.5 == a); non-power-of-two weights would
+    admit a 1-ulp wobble that could flip a plane-boundary pixel."""
+    frame = rng.integers(0, 256, (1, H, W, 3), dtype=np.uint8)
+    frames = np.repeat(frame, 8, axis=0)
+    parity = make_pipeline(tiny_model, stride=1, batch=8)
+    strided = make_pipeline(tiny_model, stride=2, batch=8)
+    ref, _ = parity.step(frames, parity.initial_state())
+    out, _ = strided.step(frames, strided.initial_state())
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_stride_state_shape_and_validation(tiny_model):
+    pipe = make_pipeline(tiny_model, stride=2, batch=4)
+    st = pipe.initial_state()
+    assert st.anchor_prev.shape == (H, W)
+    # parity pipeline carries no anchor
+    assert make_pipeline(tiny_model, stride=1, batch=4).initial_state().anchor_prev is None
+    with pytest.raises(ValueError, match="divide"):
+        make_pipeline(tiny_model, stride=3, batch=4)
+    with pytest.raises(ValueError, match=">= 1"):
+        make_pipeline(tiny_model, stride=0, batch=4)
+
+
+# ------------------------------------------------------------- sharded level
+
+def test_sharded_stride_matches_single_device(tiny_model, rng):
+    from vr_video_generator_tpu.parallel.mesh import make_mesh
+    from vr_video_generator_tpu.parallel.sharded import ShardedSbsPipeline
+
+    model, params = tiny_model
+    cfg = RunConfig(batch_size=4, input_size=56, compute_dtype="float32",
+                    depth_stride=2)
+    mesh = make_mesh((4, 2))
+    n_data, b = 4, 4
+    sharded = ShardedSbsPipeline(model, params, H, W, mesh, run_cfg=cfg)
+    frames = rng.integers(0, 256, (n_data * b, H, W, 3), dtype=np.uint8)
+    st = sharded.initial_state()
+    assert st.anchor_prev.shape == (n_data, H, W)
+    sbs, st = sharded.step(frames, st)
+    sbs2, _ = sharded.step(frames, st)
+    sbs, sbs2 = np.asarray(sbs), np.asarray(sbs2)
+
+    single = SbsPipeline(model, params, H, W, run_cfg=cfg)
+    for slot in range(n_data):
+        s = single.initial_state()
+        ref, s = single.step(frames[slot * b:(slot + 1) * b], s)
+        np.testing.assert_array_equal(sbs[slot * b:(slot + 1) * b],
+                                      np.asarray(ref))
+        # the per-slot anchor carry survives the sharded state round trip
+        ref2, _ = single.step(frames[slot * b:(slot + 1) * b], s)
+        np.testing.assert_array_equal(sbs2[slot * b:(slot + 1) * b],
+                                      np.asarray(ref2))
+
+
+# ----------------------------------------------------------------- CLI level
+
+def test_cli_depth_stride_flag():
+    from vr_video_generator_tpu.cli import parse_run_config
+
+    cfg, _ = parse_run_config(["--depth_stride", "4"])
+    assert cfg.depth_stride == 4
+    cfg, _ = parse_run_config([])
+    assert cfg.depth_stride == 1

@@ -73,6 +73,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="depth-net input preprocessing: exact f32 INTER_AREA "
                         "or the folded bf16 fast path (auto: folded on TPU "
                         "bf16)")
+    p.add_argument("--depth_stride", type=int, default=1,
+                   help="run the depth net only on every s-th frame and "
+                        "linearly interpolate raw depth in between (opt-in "
+                        "speed/fidelity trade; 1 = reference parity; must "
+                        "divide --batch_size)")
     p.add_argument("--warmup_frames", type=int, default=32,
                    help="decode this many frames before each segment start "
                         "to prime the temporal smoothing state (0 = "
@@ -124,6 +129,7 @@ def parse_run_config(argv: Optional[List[str]] = None) -> tuple[RunConfig, bool]
         sbs_output=args.sbs_output, mlp_fused=args.mlp_fused,
         tail=args.tail, reader_backend=args.reader_backend,
         writer_backend=args.writer_backend, warmup_frames=args.warmup_frames,
+        depth_stride=args.depth_stride,
         profile_dir=args.profile_dir, mesh_shape=mesh_shape,
     )
     return cfg, args

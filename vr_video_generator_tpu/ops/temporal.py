@@ -28,16 +28,22 @@ class TemporalState(NamedTuple):
     has_state: jnp.ndarray     # () bool — False only before the first frame
     overflow: jnp.ndarray      # () i32 — frames whose scaled depth exceeded
     #                              StereoConfig.limit_step_cap (clamped, counted)
+    anchor_prev: jnp.ndarray = None  # (H, W) raw depth of the last stride
+    #                              anchor (None unless depth_stride > 1)
 
     @staticmethod
-    def initial(height: int, width: int) -> "TemporalState":
+    def initial(height: int, width: int,
+                depth_stride: int = 1) -> "TemporalState":
         # Distinct buffers: the pipeline donates the state, and donating one
         # buffer through two leaves is an error.
         return TemporalState(d_prev1=jnp.zeros((height, width), jnp.float32),
                              d_prev2=jnp.zeros((height, width), jnp.float32),
                              offset_range=jnp.zeros((2,), jnp.float32),
                              has_state=jnp.asarray(False),
-                             overflow=jnp.zeros((), jnp.int32))
+                             overflow=jnp.zeros((), jnp.int32),
+                             anchor_prev=(jnp.zeros((height, width),
+                                                    jnp.float32)
+                                          if depth_stride > 1 else None))
 
 
 def temporal_scan(raw_depths: jnp.ndarray, state: TemporalState,
@@ -90,5 +96,45 @@ def temporal_scan(raw_depths: jnp.ndarray, state: TemporalState,
     new_state = TemporalState(d_prev1=ext[-1], d_prev2=ext[-2],
                               offset_range=r_last,
                               has_state=state.has_state | True,
-                              overflow=state.overflow + over)
+                              overflow=state.overflow + over,
+                              # passed through unchanged so the state pytree
+                              # is stable; stride_interpolate callers
+                              # _replace it with the fresh anchor afterwards
+                              anchor_prev=state.anchor_prev)
     return blended, ranges, new_state
+
+
+def stride_interpolate(anchors: jnp.ndarray, state: TemporalState,
+                       stride: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Depth-stride expansion: (G, H, W) anchor depths -> (G*stride, H, W).
+
+    The depth net runs only on every ``stride``-th frame (the LAST frame of
+    each stride group, so no cross-batch lookahead is ever needed); the
+    frames in between get a linear interpolation between the surrounding
+    anchors. Group g's frame j in [0, stride) receives
+
+        lerp(anchor_{g-1}, anchor_g, (j+1)/stride)
+
+    where anchor_{-1} is the carried ``state.anchor_prev`` (cold start: the
+    first anchor itself, i.e. group 0 holds anchor_0 — the same
+    copies-are-a-fixed-point convention as the temporal EWMA cold start).
+    Anchor frames (j == stride-1, weight exactly 1.0) receive their true
+    depth bit-for-bit.
+
+    This is a deliberate, opt-in capability the reference does not have: its
+    per-frame architecture recomputes depth for every frame
+    (reference PredictAndGenerate.py:218-231). Video depth is temporally
+    smooth — the reference itself blends 3 consecutive raw maps
+    (:137-142) — so anchored interpolation trades bounded depth lag for a
+    near-``stride``x cut of the dominant pipeline cost. Default off
+    (RunConfig.depth_stride = 1) keeps reference parity.
+
+    Returns (interpolated raw depths, last anchor for the next carry).
+    """
+    g = anchors.shape[0]
+    prev0 = jnp.where(state.has_state, state.anchor_prev, anchors[0])
+    prev = jnp.concatenate([prev0[None], anchors[:-1]], axis=0)
+    w = jnp.arange(1, stride + 1, dtype=jnp.float32) / stride  # (s,)
+    w = w[None, :, None, None]
+    depths = prev[:, None] * (1.0 - w) + anchors[:, None] * w
+    return depths.reshape(g * stride, *anchors.shape[1:]), anchors[-1]

@@ -28,19 +28,26 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vr_video_generator_tpu.models.depth_anything_v2 import DepthAnythingV2, infer_depth
-from vr_video_generator_tpu.ops.temporal import TemporalState, temporal_scan
+from vr_video_generator_tpu.ops.temporal import (
+    TemporalState,
+    stride_interpolate,
+    temporal_scan,
+)
 from vr_video_generator_tpu.ops.warp import WarpSpec
 from vr_video_generator_tpu.parallel.sharding import shard_params
 from vr_video_generator_tpu.utils.config import RunConfig
 
 
-def batched_initial_state(n_data: int, height: int, width: int) -> TemporalState:
+def batched_initial_state(n_data: int, height: int, width: int,
+                          depth_stride: int = 1) -> TemporalState:
     return TemporalState(
         d_prev1=jnp.zeros((n_data, height, width), jnp.float32),
         d_prev2=jnp.zeros((n_data, height, width), jnp.float32),
         offset_range=jnp.zeros((n_data, 2), jnp.float32),
         has_state=jnp.zeros((n_data,), jnp.bool_),
-        overflow=jnp.zeros((n_data,), jnp.int32))
+        overflow=jnp.zeros((n_data,), jnp.int32),
+        anchor_prev=(jnp.zeros((n_data, height, width), jnp.float32)
+                     if depth_stride > 1 else None))
 
 
 class ShardedSbsPipeline:
@@ -64,11 +71,14 @@ class ShardedSbsPipeline:
         self.preprocess_impl = _resolve_preprocess(self.run_cfg, model)
         self.params = shard_params(params, mesh)
 
+        from vr_video_generator_tpu.pipeline import _check_depth_stride
+
+        _check_depth_stride(self.run_cfg)
+        self.depth_stride = self.run_cfg.depth_stride
         data_sharding = NamedSharding(mesh, P("data"))
-        state_shardings = TemporalState(
-            d_prev1=data_sharding, d_prev2=data_sharding,
-            offset_range=data_sharding, has_state=data_sharding,
-            overflow=data_sharding)
+        state_shardings = jax.tree.map(
+            lambda _: data_sharding,
+            batched_initial_state(1, 1, 1, self.depth_stride))
         self._step = jax.jit(
             self._step_impl,
             in_shardings=(None, data_sharding, state_shardings),
@@ -88,10 +98,11 @@ class ShardedSbsPipeline:
         # state without holding non-addressable shards.
         sharding = jax.tree.map(
             lambda _: NamedSharding(self.mesh, P("data")),
-            batched_initial_state(1, 1, 1))
+            batched_initial_state(1, 1, 1, self.depth_stride))
         return jax.jit(
             functools.partial(batched_initial_state, self.n_data,
-                              self.height, self.width),
+                              self.height, self.width,
+                              depth_stride=self.depth_stride),
             out_shardings=sharding)()
 
     def _step_impl(self, params, frames_u8: jnp.ndarray,
@@ -99,19 +110,35 @@ class ShardedSbsPipeline:
         n, h, w, _ = frames_u8.shape
         d = self.n_data
         b = n // d
+        s = self.depth_stride
 
-        depth = infer_depth(self.model, params, frames_u8,
+        net_in = frames_u8
+        if s > 1:
+            if b % s:
+                raise ValueError(f"per-slot batch {b} not divisible by "
+                                 f"depth_stride {s}")
+            # Every s-th frame of each slot's contiguous slice (group-end
+            # anchors) — a static slice on the inner axis, so the data
+            # sharding of the flattened batch is preserved.
+            net_in = frames_u8.reshape(d, b, h, w, 3)[:, s - 1::s]
+            net_in = jax.lax.with_sharding_constraint(
+                net_in.reshape(d * (b // s), h, w, 3),
+                NamedSharding(self.mesh, P("data")))
+
+        depth = infer_depth(self.model, params, net_in,
                             input_size=self.run_cfg.input_size,
                             preprocess=self.preprocess_impl)
         depth = jax.lax.with_sharding_constraint(
             depth, NamedSharding(self.mesh, P("data")))
 
-        local_scan = functools.partial(_local_temporal_scan, spec=self.spec, b=b)
+        local_scan = functools.partial(_local_temporal_scan, spec=self.spec,
+                                       b=b, stride=s)
+        specs = _state_specs(with_anchor=s > 1)
         blended, ranges, states = jax.shard_map(
             local_scan, mesh=self.mesh,
-            in_specs=(P("data"), _state_specs()),
-            out_specs=(P("data"), P("data"), _state_specs()),
-        )(depth.reshape(d, b, h, w), states)
+            in_specs=(P("data"), specs),
+            out_specs=(P("data"), P("data"), specs),
+        )(depth.reshape(d, b // s if s > 1 else b, h, w), states)
 
         # Warp runs under shard_map so each data slot invokes the full
         # single-chip kernel stack (batched pallas compositor + fused blur)
@@ -145,10 +172,11 @@ class ShardedSbsPipeline:
         return self._step(self.params, frames, states)
 
 
-def _state_specs() -> TemporalState:
+def _state_specs(with_anchor: bool = False) -> TemporalState:
     return TemporalState(d_prev1=P("data"), d_prev2=P("data"),
                          offset_range=P("data"), has_state=P("data"),
-                         overflow=P("data"))
+                         overflow=P("data"),
+                         anchor_prev=P("data") if with_anchor else None)
 
 
 def _local_warp(frames_local, blended_local, ranges_local, *, spec: WarpSpec,
@@ -160,9 +188,19 @@ def _local_warp(frames_local, blended_local, ranges_local, *, spec: WarpSpec,
 
 
 def _local_temporal_scan(depth_local, state_local: TemporalState, *,
-                         spec: WarpSpec, b: int):
-    """Body run per data shard: (1, B, H, W) + leading-1 state."""
+                         spec: WarpSpec, b: int, stride: int = 1):
+    """Body run per data shard: (1, B or B/stride, H, W) + leading-1 state.
+
+    With depth_stride > 1 the incoming maps are the slot's anchor depths;
+    the interpolation runs per slot against the slot's own carried anchor
+    (each ``data`` slot owns a contiguous temporal slice, so its carry is
+    exactly the single-chip pipeline's)."""
     state = jax.tree.map(lambda x: x[0], state_local)
-    blended, ranges, state = temporal_scan(depth_local[0], state, spec)
+    depth = depth_local[0]
+    if stride > 1:
+        depth, anchor_last = stride_interpolate(depth, state, stride)
+    blended, ranges, state = temporal_scan(depth, state, spec)
+    if stride > 1:
+        state = state._replace(anchor_prev=anchor_last)
     state = jax.tree.map(lambda x: x[None], state)
     return blended[None], ranges[None], state

@@ -28,7 +28,11 @@ import jax.numpy as jnp
 
 from vr_video_generator_tpu.models.depth_anything_v2 import DepthAnythingV2, infer_depth
 from vr_video_generator_tpu.models.factory import load_model
-from vr_video_generator_tpu.ops.temporal import TemporalState, temporal_scan
+from vr_video_generator_tpu.ops.temporal import (
+    TemporalState,
+    stride_interpolate,
+    temporal_scan,
+)
 from vr_video_generator_tpu.ops.warp import WarpSpec
 from vr_video_generator_tpu.utils.config import RunConfig
 
@@ -49,6 +53,7 @@ class SbsPipeline:
             emit = "u8"  # packed is opt-in: device win ~0.02 ms/frame, D2H +33%
         self.sbs_emit = emit
         self.preprocess_impl = _resolve_preprocess(self.run_cfg, model)
+        _check_depth_stride(self.run_cfg)
         self._step = jax.jit(self._step_impl, donate_argnums=(2,))
 
     @classmethod
@@ -64,14 +69,29 @@ class SbsPipeline:
         return cls(model, params, height, width, run_cfg=run_cfg)
 
     def initial_state(self) -> TemporalState:
-        return TemporalState.initial(self.height, self.width)
+        return TemporalState.initial(self.height, self.width,
+                                     depth_stride=self.run_cfg.depth_stride)
 
     def _step_impl(self, params, frames_u8: jnp.ndarray,
                    state: TemporalState) -> Tuple[jnp.ndarray, TemporalState]:
-        depth = infer_depth(self.model, params, frames_u8,
-                            input_size=self.run_cfg.input_size,
-                            preprocess=self.preprocess_impl)
+        s = self.run_cfg.depth_stride
+        if s > 1:
+            if frames_u8.shape[0] % s:
+                raise ValueError(f"batch {frames_u8.shape[0]} not divisible "
+                                 f"by depth_stride {s}")
+            # Depth net on every s-th frame only (group-end anchors), raw
+            # depth lerped in between — see ops/temporal.stride_interpolate.
+            depth_a = infer_depth(self.model, params, frames_u8[s - 1::s],
+                                  input_size=self.run_cfg.input_size,
+                                  preprocess=self.preprocess_impl)
+            depth, anchor_last = stride_interpolate(depth_a, state, s)
+        else:
+            depth = infer_depth(self.model, params, frames_u8,
+                                input_size=self.run_cfg.input_size,
+                                preprocess=self.preprocess_impl)
         blended, ranges, state = temporal_scan(depth, state, self.spec)
+        if s > 1:
+            state = state._replace(anchor_prev=anchor_last)
         sbs = self.spec.warp_batch(frames_u8, blended, ranges,
                                    emit=self.sbs_emit)
         return sbs, state
@@ -122,6 +142,16 @@ class SbsPipeline:
     def depth_only(self, frames_u8) -> jnp.ndarray:
         """Depth maps at source resolution (scaled) — debugging/benchmarks."""
         return self._depth_fn(self.params, jnp.asarray(frames_u8))
+
+
+def _check_depth_stride(run_cfg: RunConfig) -> None:
+    s = run_cfg.depth_stride
+    if s < 1:
+        raise ValueError(f"depth_stride must be >= 1, got {s}")
+    if s > 1 and run_cfg.batch_size % s:
+        raise ValueError(
+            f"depth_stride={s} must divide batch_size={run_cfg.batch_size} "
+            "(each device batch is split into whole anchor groups)")
 
 
 def _resolve_preprocess(run_cfg: RunConfig, model: DepthAnythingV2) -> str:

@@ -192,6 +192,15 @@ class RunConfig:
     tail: str = "auto"            # DPT head tail impl: 'auto'|'fused'|'xla'
     reader_backend: str = "auto"  # video decode: 'auto'|'cv2'|'ffmpeg'
     writer_backend: str = "auto"  # subclip encode: 'auto'|'cv2'|'ffmpeg'
+    # Depth-stride production mode: run the depth net only on every s-th
+    # frame (the last of each s-frame group) and linearly interpolate the
+    # raw depth in between (ops/temporal.stride_interpolate). 1 = reference
+    # parity (every frame, default). Requires batch_size % depth_stride == 0.
+    # Opt-in speed/fidelity trade the reference cannot express — its
+    # architecture recomputes depth per frame; depth is temporally smooth
+    # (the reference itself blends 3 consecutive raw maps), so stride 2 cuts
+    # the dominant depth-net cost ~2x at a bounded depth lag.
+    depth_stride: int = 1
     # Halo warm-up: decode this many frames before each segment start to
     # prime the temporal state (the reference resets per segment — a known
     # smoothing discontinuity). The 2-tap depth history is exact after 2
