@@ -147,6 +147,25 @@ def test_sharded_stride_matches_single_device(tiny_model, rng):
                                       np.asarray(ref2))
 
 
+def test_stride_primed_state_carries_anchor(tiny_model, rng):
+    """Halo warm-up composes with the stride mode: priming on the preceding
+    frames puts the carried anchor (and the smoothing state) on the same
+    trajectory as processing those frames normally."""
+    pipe = make_pipeline(tiny_model, stride=2, batch=4)
+    frames = rng.integers(0, 256, (8, H, W, 3), dtype=np.uint8)
+    st = pipe.initial_state()
+    _, st = pipe.step(frames[:4], st)
+    # snapshot before step() consumes (donates) the state buffers
+    anchor_after_first = np.asarray(st.anchor_prev).copy()
+    ref, _ = pipe.step(frames[4:], st)
+
+    primed = pipe.primed_state(frames[:4], batch_size=4)
+    np.testing.assert_array_equal(np.asarray(primed.anchor_prev),
+                                  anchor_after_first)
+    out, _ = pipe.step(frames[4:], primed)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
 # ----------------------------------------------------------------- CLI level
 
 def test_cli_depth_stride_flag():
@@ -156,3 +175,11 @@ def test_cli_depth_stride_flag():
     assert cfg.depth_stride == 4
     cfg, _ = parse_run_config([])
     assert cfg.depth_stride == 1
+
+
+def test_ui_exposes_depth_stride():
+    from vr_video_generator_tpu.ui.app import DEFAULT_FIELDS, build_command
+
+    assert DEFAULT_FIELDS["depth_stride"] == "1"
+    cmd = build_command(dict(DEFAULT_FIELDS, depth_stride="2"))
+    assert "--depth_stride" in cmd and cmd[cmd.index("--depth_stride") + 1] == "2"

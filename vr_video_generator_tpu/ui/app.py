@@ -49,6 +49,7 @@ DEFAULT_FIELDS: Dict[str, str] = {
     "repair_mode": "0",
     "batch_size": "8",
     "compute_dtype": "bfloat16",
+    "depth_stride": "1",
 }
 
 

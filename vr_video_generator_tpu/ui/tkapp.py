@@ -42,7 +42,8 @@ REPAIR_ITEMS: Dict[str, str] = {
 PATH_FIELDS = ("VideoDir", "OutputDir", "DebugDir", "SubClipDir",
                "encoder_path")
 INT_FIELDS = ("offset_step_size", "Num_Workers", "num_gpu", "Num_GPU_Workers",
-              "Max_Frame_Count", "start_frame", "end_frame", "batch_size")
+              "Max_Frame_Count", "start_frame", "end_frame", "batch_size",
+              "depth_stride")
 FLOAT_FIELDS = ("offset_fg", "offset_bg")
 
 
