@@ -48,7 +48,7 @@ def run_config(config: int, gelu: str = "exact", mesh_shape=None,
     on_tpu = jax.default_backend() == "tpu"
     encoder, h, w, b, step = CONFIGS[config]
     if not on_tpu:  # CPU smoke: shrink so the bench stays runnable anywhere
-        encoder, h, w, b = "vits", 270, 480, 2
+        encoder, h, w, b = "vits", 270, 480, max(2, depth_stride)
 
     cfg = RunConfig(batch_size=b, input_size=518 if on_tpu else 126,
                     offset_step_size=step, encoder=encoder, gelu=gelu,
@@ -188,7 +188,14 @@ def main() -> None:
         mesh_shape = tuple(int(v)
                            for v in args.sharded.replace("x", ",").split(","))
     if args.all:
+        import sys
+
         for c in sorted(CONFIGS):
+            if args.depth_stride > 1 and CONFIGS[c][3] % args.depth_stride:
+                print(f"config {c}: skipped — depth_stride "
+                      f"{args.depth_stride} does not divide its batch "
+                      f"{CONFIGS[c][3]}", file=sys.stderr)
+                continue
             line = dict(config=c, **run_config(c, gelu=args.gelu,
                                                mesh_shape=mesh_shape,
                                                depth_stride=args.depth_stride))

@@ -63,8 +63,14 @@ def interp_depth(depth_full: np.ndarray, stride: int) -> np.ndarray:
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--frames", type=int, default=32)
+    parser.add_argument("--frames", type=int, default=32,
+                        help="rounded up to a multiple of 8 (the batch size "
+                             "and largest stride must divide the total)")
     args = parser.parse_args()
+    if args.frames < 8 or args.frames % 8:
+        args.frames = max(8, -(-args.frames // 8) * 8)
+        print(f"(frames rounded up to {args.frames}: the batch and the "
+              "stride-8 arm need whole groups)")
 
     import jax
 

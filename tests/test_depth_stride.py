@@ -14,6 +14,7 @@ Contract under test:
   * the sharded pipeline runs the identical per-slot semantics.
 """
 
+import jax
 import numpy as np
 import pytest
 import jax.numpy as jnp
@@ -164,6 +165,37 @@ def test_stride_primed_state_carries_anchor(tiny_model, rng):
                                   anchor_after_first)
     out, _ = pipe.step(frames[4:], primed)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_sharded_warmup_resets_slot0_to_cold_start(tiny_model, tmp_path):
+    """Halo warm-up + stride: a slot with no preceding frames must come out
+    of the (globally uniform) warm-up as a true cold start. Its all-pad
+    window is a fixed point of the stride-1 smoothing state, but with
+    depth_stride > 1 it would prime anchor_prev on frame 0 — diverging from
+    the single-chip path, which skips warm-up at begin == 0."""
+    from tests.test_video import write_synthetic_video
+    from vr_video_generator_tpu.parallel.mesh import make_mesh
+    from vr_video_generator_tpu.parallel.sharded import ShardedSbsPipeline
+    from vr_video_generator_tpu.runtime.sharded_runner import _primed_states
+
+    model, params = tiny_model
+    video = tmp_path / "in.mp4"
+    write_synthetic_video(video, 12, h=H, w=W)
+    cfg = RunConfig(batch_size=4, input_size=56, compute_dtype="float32",
+                    depth_stride=2)
+    mesh = make_mesh((2, 1), devices=jax.devices()[:2])
+    pipe = ShardedSbsPipeline(model, params, H, W, mesh, run_cfg=cfg)
+
+    states = _primed_states(pipe, [0, 6], str(video), b=4, warmup=4,
+                            reader_backend="cv2", multi_host=False,
+                            any_preceding=True, global_begins=[0, 6])
+    cold = pipe.initial_state()
+    # slot 0 (begin == 0): bit-identical to a cold start
+    for got, want in zip(jax.tree.leaves(states), jax.tree.leaves(cold)):
+        np.testing.assert_array_equal(np.asarray(got)[0], np.asarray(want)[0])
+    # slot 1 (begin == 6): genuinely warmed
+    assert bool(np.asarray(states.has_state)[1])
+    assert np.abs(np.asarray(states.anchor_prev)[1]).max() > 0
 
 
 # ----------------------------------------------------------------- CLI level

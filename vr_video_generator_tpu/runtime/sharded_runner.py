@@ -16,6 +16,8 @@ import math
 from dataclasses import dataclass
 from typing import List, Optional
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from vr_video_generator_tpu.parallel.sharded import ShardedSbsPipeline
@@ -52,22 +54,29 @@ def partition_segments(start: int, end: int, n: int) -> List[tuple]:
 def _primed_states(pipeline: ShardedSbsPipeline, slot_begins: List[int],
                    video_path: str, b: int, warmup: int,
                    reader_backend: str, multi_host: bool,
-                   any_preceding: bool):
+                   any_preceding: bool,
+                   global_begins: Optional[List[int]] = None):
     """Per-slot halo warm-up: prime each data slot's temporal state on the
     frames preceding its segment (the reference resets per worker,
     PredictAndGenerate.py:131-145 — a smoothing discontinuity this removes).
 
-    Copies of a slot's first fed frame are a fixed point of the state
-    (see SbsPipeline.primed_state), so every slot is front-padded to the
-    same k = ceil(warmup/b) whole batches — including slots with no
-    preceding frames, whose all-pad window is exactly a cold start — and the
-    warm-up runs through the normal sharded step, SBS output discarded.
+    Copies of a slot's first fed frame are a fixed point of the smoothing
+    state (see SbsPipeline.primed_state), so every slot is front-padded to
+    the same k = ceil(warmup/b) whole batches and the warm-up runs through
+    the normal sharded step, SBS output discarded. Slots with NO preceding
+    frames (begin == 0) are reset to a true cold start afterwards: their
+    all-pad window is a fixed point of the stride-1 state, but with
+    depth_stride > 1 it would leave ``anchor_prev`` primed on frame 0 —
+    diverging from the single-chip path, which skips warm-up at begin == 0
+    (runtime/orchestrator.py). The reset makes that equivalence hold by
+    construction for every stride.
 
-    ``any_preceding`` must be computed from ALL slots' begins, not just this
-    process's owned slots: the warm-up steps launch the global SPMD program,
-    so either every process takes the early return or none may (a per-process
-    decision would leave the hosts whose slots start at 0 out of the
-    collectives and deadlock the rest).
+    ``any_preceding`` / ``global_begins`` must be computed from ALL slots'
+    begins, not just this process's owned slots: the warm-up steps (and the
+    reset's select) launch the global SPMD program, so every process must
+    make the identical decision (a per-process early return would leave the
+    hosts whose slots start at 0 out of the collectives and deadlock the
+    rest).
     """
     states = pipeline.initial_state()
     if warmup <= 0 or not any_preceding:
@@ -104,6 +113,24 @@ def _primed_states(pipeline: ShardedSbsPipeline, slot_begins: List[int],
             _, states = pipeline.step_local(local, states)
         else:
             _, states = pipeline.step(local, states)
+    begins = slot_begins if global_begins is None else global_begins
+    if any(lo == 0 for lo in begins):
+        # Cold-start reset for slots with no preceding frames (see docstring).
+        # Globally uniform: every process computes the same mask and runs the
+        # same jitted select program over the sharded state (the mask is a
+        # baked-in replicated constant, so no host array mixes shardings).
+        keep = np.asarray([lo > 0 for lo in begins])
+
+        @jax.jit
+        def _reset_cold(warmed, cold):
+            def sel(w_leaf, c_leaf):
+                m = jnp.asarray(keep).reshape(
+                    (-1,) + (1,) * (w_leaf.ndim - 1))
+                return jnp.where(m, w_leaf, c_leaf)
+
+            return jax.tree.map(sel, warmed, cold)
+
+        states = _reset_cold(states, pipeline.initial_state())
     return states._replace(overflow=states.overflow * 0)
 
 
@@ -144,7 +171,8 @@ def run_sharded(pipeline: ShardedSbsPipeline, video_path: str,
     states = _primed_states(pipeline, [bounds[i][0] for i in owned],
                             video_path, b, warmup, reader_backend,
                             multi_host,
-                            any_preceding=any(lo > 0 for lo, _ in bounds))
+                            any_preceding=any(lo > 0 for lo, _ in bounds),
+                            global_begins=[lo for lo, _ in bounds])
     frames_done = 0
     h, w = pipeline.height, pipeline.width
     # Same trip count on every process: the longest segment anywhere decides.
