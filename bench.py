@@ -62,12 +62,37 @@ def run_config(config: int, gelu: str = "exact", mesh_shape=None,
     pipe = SbsPipeline(model, params, h, w, run_cfg=cfg)
 
     k_steps = 8 if on_tpu else 2
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.integers(0, 256, (b, h, w, 3), dtype=np.uint8))
+    fps = _measure(pipe._step_impl, params, frames, pipe.initial_state,
+                   k_steps=k_steps, n_frames=b)
+    stride_tag = f"_stride{depth_stride}" if depth_stride > 1 else ""
+    return _json_line(f"sbs_fps_{h}p_{encoder}_depth_warp_fused{stride_tag}",
+                      fps)
+
+
+BASELINE_FPS = 12.0  # reference Journal.txt:33 (2.5x realtime at 30fps)
+
+
+def _json_line(metric: str, fps: float) -> dict:
+    return {"metric": metric, "value": round(fps, 2), "unit": "frames/s",
+            "vs_baseline": round(fps / BASELINE_FPS, 2)}
+
+
+def _measure(step_impl, params, frames, make_state, k_steps: int,
+             n_frames: int) -> float:
+    """Best-of-6 timing of K chained pipeline steps inside one jitted scan.
+
+    Shared by the single-chip and sharded paths — only the step function and
+    the frame count per step differ. Returns frames/s."""
+    import jax
+    import jax.numpy as jnp
 
     @jax.jit
     def chained(params, frames, state):
         def body(carry, _):
             frames, state = carry
-            sbs, state = pipe._step_impl(params, frames, state)
+            sbs, state = step_impl(params, frames, state)
             # consume every output pixel so nothing dead-code-eliminates
             cs = jnp.sum(sbs, dtype=jnp.uint32)
             # Serializing data dependency: the next iteration's frames depend
@@ -80,10 +105,7 @@ def run_config(config: int, gelu: str = "exact", mesh_shape=None,
                                         length=k_steps)
         return sums, state
 
-    rng = np.random.default_rng(0)
-    frames = jnp.asarray(rng.integers(0, 256, (b, h, w, 3), dtype=np.uint8))
-
-    sums, _ = chained(params, frames, pipe.initial_state())  # compile+warmup
+    sums, _ = chained(params, frames, make_state())  # compile+warmup
     _ = np.asarray(sums)
 
     # best-of-6: the relay/host load drifts on minute scales (BENCHLOG
@@ -91,21 +113,12 @@ def run_config(config: int, gelu: str = "exact", mesh_shape=None,
     # samples make one recorded run a fairer estimate of the binary.
     best = float("inf")
     for _ in range(6):
-        state = pipe.initial_state()
+        state = make_state()
         t0 = time.perf_counter()
         sums, _ = chained(params, frames, state)
         _ = np.asarray(sums)  # scalar readback forces completion
         best = min(best, time.perf_counter() - t0)
-
-    fps = k_steps * b / best
-    baseline_fps = 12.0  # reference Journal.txt:33 (2.5x realtime at 30fps)
-    stride_tag = f"_stride{depth_stride}" if depth_stride > 1 else ""
-    return {
-        "metric": f"sbs_fps_{h}p_{encoder}_depth_warp_fused{stride_tag}",
-        "value": round(fps, 2),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / baseline_fps, 2),
-    }
+    return k_steps * n_frames / best
 
 
 def _run_sharded(model, params, h, w, b, cfg, mesh_shape, k_steps) -> dict:
@@ -117,7 +130,6 @@ def _run_sharded(model, params, h, w, b, cfg, mesh_shape, k_steps) -> dict:
     (VERDICT r2 missing #3: the sharded path had only ever run on virtual
     CPU meshes)."""
     import jax
-    import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from vr_video_generator_tpu.parallel.mesh import make_mesh
@@ -127,46 +139,17 @@ def _run_sharded(model, params, h, w, b, cfg, mesh_shape, k_steps) -> dict:
     pipe = ShardedSbsPipeline(model, params, h, w, mesh, run_cfg=cfg)
     n = pipe.n_data * b
 
-    @jax.jit
-    def chained(params, frames, state):
-        def body(carry, _):
-            frames, state = carry
-            sbs, state = pipe._step_impl(params, frames, state)
-            cs = jnp.sum(sbs, dtype=jnp.uint32)
-            frames = jnp.where(cs == jnp.uint32(0xFFFFFFFF), frames ^ 1, frames)
-            return (frames, state), cs
-        (_, state), sums = jax.lax.scan(body, (frames, state), None,
-                                        length=k_steps)
-        return sums, state
-
     rng = np.random.default_rng(0)
     frames = jax.device_put(
         rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8),
         NamedSharding(mesh, P("data")))
-
-    sums, _ = chained(pipe.params, frames, pipe.initial_state())
-    _ = np.asarray(sums)
-
-    best = float("inf")
-    for _ in range(6):
-        state = pipe.initial_state()
-        t0 = time.perf_counter()
-        sums, _ = chained(pipe.params, frames, state)
-        _ = np.asarray(sums)
-        best = min(best, time.perf_counter() - t0)
-
-    fps = k_steps * n / best
-    baseline_fps = 12.0
+    fps = _measure(pipe._step_impl, pipe.params, frames, pipe.initial_state,
+                   k_steps=k_steps, n_frames=n)
     d, m = mesh.shape["data"], mesh.shape["model"]
     stride = cfg.depth_stride
     stride_tag = f"_stride{stride}" if stride > 1 else ""
-    return {
-        "metric": f"sbs_fps_{h}p_{model.cfg.encoder}_sharded_mesh{d}x{m}"
-                  f"{stride_tag}",
-        "value": round(fps, 2),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / baseline_fps, 2),
-    }
+    return _json_line(f"sbs_fps_{h}p_{model.cfg.encoder}_sharded_mesh{d}x{m}"
+                      f"{stride_tag}", fps)
 
 
 def main() -> None:
@@ -190,8 +173,14 @@ def main() -> None:
     if args.all:
         import sys
 
+        import jax
+
+        on_tpu = jax.default_backend() == "tpu"
         for c in sorted(CONFIGS):
-            if args.depth_stride > 1 and CONFIGS[c][3] % args.depth_stride:
+            # CPU smoke overrides the batch to max(2, stride), which the
+            # stride always divides — the skip only applies to TPU configs.
+            if (on_tpu and args.depth_stride > 1
+                    and CONFIGS[c][3] % args.depth_stride):
                 print(f"config {c}: skipped — depth_stride "
                       f"{args.depth_stride} does not divide its batch "
                       f"{CONFIGS[c][3]}", file=sys.stderr)

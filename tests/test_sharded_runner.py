@@ -118,6 +118,109 @@ def test_sharded_warmup_matches_full_sequential_run(tmp_path):
             np.testing.assert_array_equal(fa, fb)
 
 
+def test_sharded_warmup_matches_single_chip_primed_state(tmp_path):
+    """With warmup not a multiple of batch_size, the sharded warm-up must
+    prime on exactly ``warmup`` real frames (front-padded to whole batches),
+    bit-identical to SbsPipeline.primed_state — so a segment renders the
+    same whether dispatched single-chip or through the mesh."""
+    import jax
+
+    from vr_video_generator_tpu.runtime.sharded_runner import _primed_states
+
+    video = tmp_path / "in.mp4"
+    write_synthetic_video(video, 12, h=H, w=W)
+    cfg = RunConfig(batch_size=2, input_size=56, compute_dtype="float32")
+    model = DepthAnythingV2(TINY, dtype=jnp.float32)
+    params = random_params(model)
+    begins = [4, 9]
+
+    mesh = make_mesh((2, 1), devices=jax.devices()[:2])
+    sharded = ShardedSbsPipeline(model, params, H, W, mesh, run_cfg=cfg)
+    states = _primed_states(sharded, begins, str(video), b=2, warmup=3,
+                            reader_backend="cv2", multi_host=False,
+                            any_preceding=True, global_begins=begins)
+
+    single = SbsPipeline(model, params, H, W, run_cfg=cfg)
+    for i, lo in enumerate(begins):
+        with VideoReader(str(video), begin=lo - 3) as r:
+            warm = np.stack(list(r.frames(lo - 3, lo)))
+        assert warm.shape[0] == 3
+        ref = single.primed_state(warm, batch_size=2)
+        for got, want in zip(jax.tree.leaves(states), jax.tree.leaves(ref)):
+            np.testing.assert_array_equal(np.asarray(got)[i],
+                                          np.asarray(want))
+
+
+def test_overflow_diagnostic_counts_only_real_frames(tmp_path):
+    """An over-cap depth (huge depth_scaler) on a segment whose final batch
+    is host-padded must report exactly the real frame count — pads, and the
+    all-zero batches of finished mesh slots, are masked out (n_valid)."""
+    import dataclasses
+
+    from vr_video_generator_tpu.utils.logging import WorkerLog
+
+    video = tmp_path / "in.mp4"
+    n_frames = 5
+    write_synthetic_video(video, n_frames, h=H, w=W)
+    hot = dataclasses.replace(TINY, depth_scaler=1e6)  # frames land over cap
+    model = DepthAnythingV2(hot, dtype=jnp.float32)
+    params = random_params(model)
+    cfg = RunConfig(batch_size=2, input_size=56, compute_dtype="float32",
+                    max_frame_count=4)
+
+    single = SbsPipeline(model, params, H, W, run_cfg=cfg)
+    # ground truth: which REAL frames are actually over the cap (a frame can
+    # land at 0 if the random net's ReLU zeroes it — don't hardcode)
+    with VideoReader(str(video), begin=0) as r:
+        frames = np.stack(list(r.frames(0, n_frames)))
+    cap = cfg.stereo().normalized().limit_step_cap
+    over = np.asarray(single.depth_only(frames)).max(axis=(1, 2)) > cap
+    expected = int(over.sum())
+    assert 1 <= expected < n_frames  # meaningful, and distinguishable below
+    assert over[-1]  # the padded copies duplicate an over-cap frame, so an
+    #                  unmasked count would read expected + 1 (single-chip)
+
+    # single-chip: batches (2, 2, 1+pad) — the pad must not count
+    log_path = tmp_path / "seg.txt"
+    fps, *_ = probe_video(str(video))
+    writer = SubclipWriter(str(tmp_path / "out") + os.sep, fps, 2 * W, H,
+                           backend="cv2")
+    with VideoReader(str(video), begin=0) as reader:
+        process_segment(single, reader, writer, 0, n_frames,
+                        max_frame_count=4, batch_size=2,
+                        log=WorkerLog(str(log_path)))
+    writer.close()
+    assert (f"exceeded limit_step_cap on {expected} frames"
+            in log_path.read_text())
+
+    # sharded: slots [0,2) [2,4) [4,5) [5,5) — the padded slot contributes
+    # its 1 real frame and the empty (all-zeros) slot contributes 0
+    mesh = make_mesh((4, 2))
+    sharded = ShardedSbsPipeline(model, params, H, W, mesh, run_cfg=cfg)
+    slog = tmp_path / "sharded.txt"
+    n = run_sharded(sharded, str(video), str(tmp_path / "shard") + os.sep,
+                    0, n_frames, max_frame_count=4, batch_size=2,
+                    writer_backend="cv2", log=WorkerLog(str(slog)))
+    assert n == n_frames
+    assert (f"exceeded limit_step_cap on {expected} frames"
+            in slog.read_text())
+
+
+def test_sharded_packed_emit_is_loud_without_pallas():
+    """--sbs_output packed must reach the sharded warp (not be silently
+    dropped): on the XLA warp impl that is a ValueError at trace time."""
+    model = DepthAnythingV2(TINY, dtype=jnp.float32)
+    params = random_params(model)
+    cfg = RunConfig(batch_size=2, input_size=56, compute_dtype="float32",
+                    sbs_output="packed")
+    mesh = make_mesh((4, 2))
+    pipe = ShardedSbsPipeline(model, params, H, W, mesh, run_cfg=cfg)
+    assert pipe.sbs_emit == "packed"
+    frames = np.zeros((8, H, W, 3), np.uint8)
+    with pytest.raises(ValueError, match="packed"):
+        pipe.step(frames, pipe.initial_state())
+
+
 @pytest.mark.slow
 def test_sharded_runner_matches_single_device(tmp_path):
     video = tmp_path / "in.mp4"

@@ -192,6 +192,25 @@ def test_depth_over_cap_clamps_and_counts(rng):
     np.testing.assert_array_equal(ours[:, :, W:], imgs)
 
 
+def test_overflow_counter_masks_padding_frames(rng):
+    """``n_valid``: host runtimes pad short batches by repeating the last
+    frame; those copies must not inflate the overflow diagnostic, and the
+    mask must not change the computed output."""
+    cfg = StereoConfig().normalized()
+    spec = WarpSpec.create(H, W, cfg)
+    cap = float(cfg.limit_step_cap)
+    depths = np.stack([synth_depth(rng, tmax=cap + 8)] * 4)  # all over cap
+    state = TemporalState.initial(H, W)
+    blended, ranges, st = temporal_scan(jnp.asarray(depths), state, spec,
+                                        n_valid=2)
+    assert int(st.overflow) == 2  # only the 2 real frames count
+    b2, r2, st2 = temporal_scan(jnp.asarray(depths),
+                                TemporalState.initial(H, W), spec)
+    assert int(st2.overflow) == 4  # None = every frame is real
+    np.testing.assert_array_equal(np.asarray(blended), np.asarray(b2))
+    np.testing.assert_array_equal(np.asarray(ranges), np.asarray(r2))
+
+
 def test_plane_tables_oversized_inputs_saturate(rng):
     """Direct build_plane_tables with over-cap depth/offset_range must yield
     the same (in-bounds) tables as cap-saturated inputs."""

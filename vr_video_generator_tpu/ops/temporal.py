@@ -47,8 +47,14 @@ class TemporalState(NamedTuple):
 
 
 def temporal_scan(raw_depths: jnp.ndarray, state: TemporalState,
-                  spec: WarpSpec) -> Tuple[jnp.ndarray, jnp.ndarray, TemporalState]:
+                  spec: WarpSpec, n_valid=None,
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, TemporalState]:
     """(B, H, W) raw depths -> (smoothed depths, per-frame offset ranges, state').
+
+    ``n_valid`` (optional scalar): number of leading frames that are real;
+    the host runtimes pad short batches by repeating the last frame for
+    static shapes, and those copies must not inflate the overflow tally.
+    None counts every frame (callers that never pad).
 
     Per frame (reference get_depth :131-145 + get_cutoff :102-108):
       blended_t = w0*raw_t + w1*raw_{t-1} + w2*raw_{t-2}   (history = RAW maps)
@@ -69,7 +75,10 @@ def temporal_scan(raw_depths: jnp.ndarray, state: TemporalState,
     # the depth at the cap (graceful: far planes merge) and count affected
     # frames so the host runtime can surface the overflow.
     cap = jnp.float32(spec.cfg.limit_step_cap)
-    over = jnp.sum(jnp.any(raw_depths > cap, axis=(1, 2))).astype(jnp.int32)
+    over_f = jnp.any(raw_depths > cap, axis=(1, 2))  # (B,)
+    if n_valid is not None:
+        over_f = over_f & (jnp.arange(over_f.shape[0]) < n_valid)
+    over = jnp.sum(over_f).astype(jnp.int32)
     raw_depths = jnp.minimum(raw_depths, cap)
 
     d1 = jnp.where(state.has_state, state.d_prev1, raw_depths[0])

@@ -69,6 +69,10 @@ class ShardedSbsPipeline:
         from vr_video_generator_tpu.pipeline import _resolve_preprocess
 
         self.preprocess_impl = _resolve_preprocess(self.run_cfg, model)
+        emit = self.run_cfg.sbs_output
+        if emit == "auto":
+            emit = "u8"  # same resolution as SbsPipeline
+        self.sbs_emit = emit
         self.params = shard_params(params, mesh)
 
         from vr_video_generator_tpu.pipeline import _check_depth_stride
@@ -81,7 +85,8 @@ class ShardedSbsPipeline:
             batched_initial_state(1, 1, 1, self.depth_stride))
         self._step = jax.jit(
             self._step_impl,
-            in_shardings=(None, data_sharding, state_shardings),
+            in_shardings=(None, data_sharding, state_shardings,
+                          data_sharding),
             out_shardings=(data_sharding, state_shardings),
             donate_argnums=(2,))
 
@@ -106,7 +111,8 @@ class ShardedSbsPipeline:
             out_shardings=sharding)()
 
     def _step_impl(self, params, frames_u8: jnp.ndarray,
-                   states: TemporalState) -> Tuple[jnp.ndarray, TemporalState]:
+                   states: TemporalState, n_valid=None,
+                   ) -> Tuple[jnp.ndarray, TemporalState]:
         n, h, w, _ = frames_u8.shape
         d = self.n_data
         b = n // d
@@ -131,14 +137,16 @@ class ShardedSbsPipeline:
         depth = jax.lax.with_sharding_constraint(
             depth, NamedSharding(self.mesh, P("data")))
 
+        if n_valid is None:  # direct/bench callers: every frame is real
+            n_valid = jnp.full((d,), b, jnp.int32)
         local_scan = functools.partial(_local_temporal_scan, spec=self.spec,
                                        b=b, stride=s)
         specs = _state_specs(with_anchor=s > 1)
         blended, ranges, states = jax.shard_map(
             local_scan, mesh=self.mesh,
-            in_specs=(P("data"), specs),
+            in_specs=(P("data"), specs, P("data")),
             out_specs=(P("data"), P("data"), specs),
-        )(depth.reshape(d, b // s if s > 1 else b, h, w), states)
+        )(depth.reshape(d, b // s, h, w), states, n_valid)
 
         # Warp runs under shard_map so each data slot invokes the full
         # single-chip kernel stack (batched pallas compositor + fused blur)
@@ -149,27 +157,46 @@ class ShardedSbsPipeline:
         # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
         # info, so the replication checker cannot run across the kernel.
         sbs = jax.shard_map(
-            functools.partial(_local_warp, spec=self.spec), mesh=self.mesh,
+            functools.partial(_local_warp, spec=self.spec,
+                              emit=self.sbs_emit), mesh=self.mesh,
             in_specs=(P("data"), P("data"), P("data")), out_specs=P("data"),
             check_vma=False,
         )(frames_u8, blended.reshape(n, h, w), ranges.reshape(n, 2))
         return sbs, states
 
-    def step(self, frames_u8, states: TemporalState):
-        return self._step(self.params, jnp.asarray(frames_u8), states)
+    def _full_n_valid(self, b: int) -> np.ndarray:
+        return np.full((self.n_data,), b, np.int32)
 
-    def step_local(self, local_frames_u8, states: TemporalState):
+    def step(self, frames_u8, states: TemporalState, n_valid=None):
+        """``n_valid``: (n_data,) i32 — real (non-padding) frames per data
+        slot this step; only those count toward the overflow diagnostic.
+        None means every frame is real."""
+        frames_u8 = jnp.asarray(frames_u8)
+        if n_valid is None:
+            n_valid = self._full_n_valid(frames_u8.shape[0] // self.n_data)
+        return self._step(self.params, frames_u8,
+                          states, jnp.asarray(n_valid, jnp.int32))
+
+    def step_local(self, local_frames_u8, states: TemporalState,
+                   n_valid_local=None):
         """Multi-host step: ``local_frames_u8`` holds only this process's
         ``data`` slots, stacked in ascending slot order —
         (len(local_slots) * batch, H, W, 3). The global array is assembled
         from every process's local shards; frames never cross hosts
-        (SURVEY.md §2c: DCN carries only program coordination)."""
+        (SURVEY.md §2c: DCN carries only program coordination).
+        ``n_valid_local``: per-owned-slot real-frame counts (same order)."""
         n_local, h, w, _ = local_frames_u8.shape
-        n_global = n_local * (self.n_data // max(len(self.local_slots), 1))
+        n_slots = max(len(self.local_slots), 1)
+        n_global = n_local * (self.n_data // n_slots)
+        b = n_local // n_slots
         sharding = NamedSharding(self.mesh, P("data"))
         frames = jax.make_array_from_process_local_data(
             sharding, np.asarray(local_frames_u8), (n_global, h, w, 3))
-        return self._step(self.params, frames, states)
+        if n_valid_local is None:
+            n_valid_local = np.full((n_slots,), b, np.int32)
+        n_valid = jax.make_array_from_process_local_data(
+            sharding, np.asarray(n_valid_local, np.int32), (self.n_data,))
+        return self._step(self.params, frames, states, n_valid)
 
 
 def _state_specs(with_anchor: bool = False) -> TemporalState:
@@ -180,16 +207,18 @@ def _state_specs(with_anchor: bool = False) -> TemporalState:
 
 
 def _local_warp(frames_local, blended_local, ranges_local, *, spec: WarpSpec,
-                interpret: bool = False):
+                emit: str = "u8", interpret: bool = False):
     """Body run per data shard: the slot's (B, H, W, 3) frames through the
     batched warp — identical kernels to the single-chip path."""
     return spec.warp_batch(frames_local, blended_local, ranges_local,
-                           interpret=interpret)
+                           emit=emit, interpret=interpret)
 
 
-def _local_temporal_scan(depth_local, state_local: TemporalState, *,
+def _local_temporal_scan(depth_local, state_local: TemporalState,
+                         n_valid_local, *,
                          spec: WarpSpec, b: int, stride: int = 1):
-    """Body run per data shard: (1, B or B/stride, H, W) + leading-1 state.
+    """Body run per data shard: (1, B or B/stride, H, W) + leading-1 state
+    + (1,) per-slot real-frame count (overflow diagnostic mask).
 
     With depth_stride > 1 the incoming maps are the slot's anchor depths;
     the interpolation runs per slot against the slot's own carried anchor
@@ -199,7 +228,8 @@ def _local_temporal_scan(depth_local, state_local: TemporalState, *,
     depth = depth_local[0]
     if stride > 1:
         depth, anchor_last = stride_interpolate(depth, state, stride)
-    blended, ranges, state = temporal_scan(depth, state, spec)
+    blended, ranges, state = temporal_scan(depth, state, spec,
+                                           n_valid=n_valid_local[0])
     if stride > 1:
         state = state._replace(anchor_prev=anchor_last)
     state = jax.tree.map(lambda x: x[None], state)

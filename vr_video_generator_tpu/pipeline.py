@@ -73,7 +73,8 @@ class SbsPipeline:
                                      depth_stride=self.run_cfg.depth_stride)
 
     def _step_impl(self, params, frames_u8: jnp.ndarray,
-                   state: TemporalState) -> Tuple[jnp.ndarray, TemporalState]:
+                   state: TemporalState, n_valid=None,
+                   ) -> Tuple[jnp.ndarray, TemporalState]:
         s = self.run_cfg.depth_stride
         if s > 1:
             if frames_u8.shape[0] % s:
@@ -89,18 +90,24 @@ class SbsPipeline:
             depth = infer_depth(self.model, params, frames_u8,
                                 input_size=self.run_cfg.input_size,
                                 preprocess=self.preprocess_impl)
-        blended, ranges, state = temporal_scan(depth, state, self.spec)
+        blended, ranges, state = temporal_scan(depth, state, self.spec,
+                                               n_valid=n_valid)
         if s > 1:
             state = state._replace(anchor_prev=anchor_last)
         sbs = self.spec.warp_batch(frames_u8, blended, ranges,
                                    emit=self.sbs_emit)
         return sbs, state
 
-    def step(self, frames_u8, state: TemporalState) -> Tuple[jnp.ndarray, TemporalState]:
+    def step(self, frames_u8, state: TemporalState,
+             n_valid: Optional[int] = None) -> Tuple[jnp.ndarray, TemporalState]:
         """Process one batch; returns (SBS frames, carried state) — uint8
         (B, H, 2W, 3) or, when ``sbs_emit == 'packed'``, packed uint32
-        (B, H, 2W) for host-side rgb24 unpacking (native.unpack_sbs)."""
-        return self._step(self.params, jnp.asarray(frames_u8), state)
+        (B, H, 2W) for host-side rgb24 unpacking (native.unpack_sbs).
+
+        ``n_valid``: how many leading frames are real (the rest are host
+        padding copies); only those count toward the overflow diagnostic.
+        Traced, so distinct values share one compilation."""
+        return self._step(self.params, jnp.asarray(frames_u8), state, n_valid)
 
     def primed_state(self, warm_frames, batch_size: int) -> TemporalState:
         """Prime the temporal state on frames [begin-W, begin) so a segment
@@ -136,8 +143,11 @@ class SbsPipeline:
 
     @functools.cached_property
     def _depth_fn(self):
+        # Same preprocess variant as step() — on TPU bf16 that is the folded
+        # path, so debug depth maps match what the pipeline actually warps.
         return jax.jit(functools.partial(infer_depth, self.model,
-                                         input_size=self.run_cfg.input_size))
+                                         input_size=self.run_cfg.input_size,
+                                         preprocess=self.preprocess_impl))
 
     def depth_only(self, frames_u8) -> jnp.ndarray:
         """Depth maps at source resolution (scaled) — debugging/benchmarks."""

@@ -103,7 +103,8 @@ def _convert_range_sharded(cfg: RunConfig, begin: int, end: int,
     mesh = make_mesh(cfg.mesh_shape)
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     model, params = load_model(cfg.encoder, cfg.encoder_path, dtype=dtype,
-                               allow_random=allow_random, gelu=cfg.gelu)
+                               allow_random=allow_random, gelu=cfg.gelu,
+                               mlp_fused=cfg.mlp_fused, tail=cfg.tail)
     pipe = ShardedSbsPipeline(model, params, height, width, mesh, run_cfg=cfg)
     suffix = f"sharded_p{jax.process_index()}"
     log = log or WorkerLog(os.path.join(cfg.debug_dir, f"{suffix}.txt"))

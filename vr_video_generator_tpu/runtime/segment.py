@@ -102,7 +102,7 @@ def process_segment(pipeline: SbsPipeline, reader: VideoReader,
             pad = np.repeat(batch[-1:], batch_size - n_real, axis=0)
             batch = np.concatenate([batch, pad], axis=0)
         with timer.stage("device_dispatch"):
-            sbs_dev, state = pipeline.step(batch, state)
+            sbs_dev, state = pipeline.step(batch, state, n_valid=n_real)
         if prev_sbs is not None:
             sbs_np, n_prev = prev_sbs
             with timer.stage("device_readback"):

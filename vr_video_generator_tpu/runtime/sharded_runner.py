@@ -88,8 +88,11 @@ def _primed_states(pipeline: ShardedSbsPipeline, slot_begins: List[int],
         # Lazy k*b-frame window: front-pad copies of the first decoded frame,
         # then the real preceding frames. Streaming one batch column per step
         # bounds host memory at n_slots*b frames instead of staging the whole
-        # n_slots*k*b warm-up (multi-GB at 4K geometries).
-        wu_begin = max(0, lo - k * b)
+        # n_slots*k*b warm-up (multi-GB at 4K geometries). Exactly ``warmup``
+        # real frames (not k*b) so the primed state matches the single-chip
+        # path bit-for-bit (SbsPipeline.primed_state on frames
+        # [lo - warmup, lo) front-padded to whole batches).
+        wu_begin = max(0, lo - warmup)
         n_real = max(lo - wu_begin, 1)
         with VideoReader(video_path, begin=wu_begin,
                          backend=reader_backend) as wr:
@@ -199,16 +202,18 @@ def run_sharded(pipeline: ShardedSbsPipeline, video_path: str,
                 batch[slot_i, n_want:] = batch[slot_i, n_want - 1]
             counts.append(n_want)
         local = batch.reshape(len(owned) * b, h, w, 3)
+        n_valid = np.asarray(counts, np.int32)
         if multi_host:
-            sbs, states = pipeline.step_local(local, states)
+            sbs, states = pipeline.step_local(local, states, n_valid)
             shards = {s.index[0].start or 0: np.asarray(s.data)
                       for s in sbs.addressable_shards}
             sbs_np = np.concatenate(
                 [shards[k] for k in sorted(shards)], axis=0)
         else:
-            sbs, states = pipeline.step(local, states)
+            sbs, states = pipeline.step(local, states, n_valid)
             sbs_np = np.asarray(sbs)
-        sbs_np = sbs_np.reshape(len(owned), b, h, 2 * w, 3)
+        # packed emit: (n, h, 2w) uint32 words the writer unpacks host-side
+        sbs_np = sbs_np.reshape((len(owned), b) + sbs_np.shape[1:])
         for slot_i, i in enumerate(owned):
             seg = segs[i]
             if counts[slot_i]:
