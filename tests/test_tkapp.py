@@ -73,3 +73,42 @@ def test_debug_listing(tmp_path):
     assert m.debug_listing() == ["ERROR.txt", "segment_0.txt"]
     m.set_field("DebugDir", str(tmp_path / "missing"))
     assert m.debug_listing() == []
+
+
+def test_verify_report_ok_and_broken(tmp_path):
+    """"Verify Integrity" (reference UserInterface.py:276 — a button with
+    callback=None; implemented here): OK tree, then a gapped tree with the
+    suggested repair command."""
+    from tests.test_video import FPS, H, W, write_synthetic_video
+    from vr_video_generator_tpu.video.writer import SubclipWriter
+    import numpy as np
+
+    m = FormModel()
+    m.set_field("SubClipDir", str(tmp_path / "missing") + os.sep)
+    assert "no subclip directory" in m.verify_report()
+
+    video = tmp_path / "in.mp4"
+    write_synthetic_video(video, 10)
+    subdir = str(tmp_path / "sub") + os.sep
+    writer = SubclipWriter(subdir, FPS, W, H, backend="cv2")
+    frames = np.random.default_rng(0).integers(0, 256, (10, H, W, 3),
+                                               dtype=np.uint8)
+    writer.write_clip(0, list(frames[:6]))
+    writer.write_clip(6, list(frames[6:]))
+    writer.close()
+    m.set_field("SubClipDir", subdir)
+    m.set_field("VideoDir", str(video))
+    report = m.verify_report()
+    assert "2 subclips covering frames [0, 9]" in report
+    assert "all subclips OK" in report
+    assert "coverage complete: 10/10" in report
+
+    os.remove(os.path.join(subdir, "0_5.mp4"))
+    writer2 = SubclipWriter(subdir, FPS, W, H, backend="cv2")
+    writer2.write_clip(0, list(frames[:4]))  # gap: frames 4-5 missing
+    writer2.close()
+    report = m.verify_report()
+    assert "BAD continuity" in report
+    assert "regenerate frames [4, 6)" in report
+    assert "--repair_mode 1 --start_frame 4 --end_frame 6" in report
+    assert "coverage: frames [0, 9] of 10" in report

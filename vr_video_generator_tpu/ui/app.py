@@ -104,7 +104,7 @@ def run_app(input_fn=input, print_fn=print) -> None:  # pragma: no cover - inter
     fields = dict(DEFAULT_FIELDS)
     proc = PipelineProcess()
     print_fn("vr_video_generator_tpu console UI — commands: set <key> <value>, "
-             "pick <key>, show, run, stop, debug, quit")
+             "pick <key>, show, run, stop, debug, verify, quit")
     while True:
         try:
             line = input_fn("> ").strip()
@@ -145,8 +145,61 @@ def run_app(input_fn=input, print_fn=print) -> None:  # pragma: no cover - inter
                     print_fn("  " + f)
             else:
                 print_fn(f"no debug dir at {dbg}")
+        elif cmd == "verify":
+            print_fn(integrity_report(fields["SubClipDir"],
+                                      fields["VideoDir"]))
         else:
-            print_fn("commands: set/pick/show/run/stop/debug/quit")
+            print_fn("commands: set/pick/show/run/stop/debug/verify/quit")
+
+
+def integrity_report(subclip_dir: str, video_dir: str = "") -> str:
+    """Human-readable subclip integrity report for the UI "Verify Integrity"
+    action. The reference GUI has this button but never implemented it
+    (reference UserInterface.py:276, callback=None) — here it runs the real
+    checker (video/check.py, the reference Check_Clips.py logic) plus a
+    coverage summary against the source video, and suggests the exact
+    --repair_mode 1 command for anything broken."""
+    from vr_video_generator_tpu.video.check import (check_subclips,
+                                                    parse_clip_name)
+    from vr_video_generator_tpu.video.combine import sorted_subclips
+
+    if not os.path.isdir(subclip_dir):
+        return f"no subclip directory at {subclip_dir}"
+    names = sorted_subclips(subclip_dir)
+    if not names:
+        return f"no subclips in {subclip_dir}"
+    first_begin, _ = parse_clip_name(names[0])
+    _, last_end = parse_clip_name(names[-1])
+    lines = [f"{len(names)} subclips covering frames "
+             f"[{first_begin}, {last_end}] in {subclip_dir}"]
+
+    issues = check_subclips(subclip_dir)
+    if issues:
+        repair_ranges = []
+        for issue in issues:
+            lo, hi = issue.repair_range
+            lines.append(f"  BAD {issue.kind}: {issue.filename} "
+                         f"-> regenerate frames [{lo}, {hi})")
+            repair_ranges.append((lo, hi))
+        lo = min(r[0] for r in repair_ranges)
+        hi = max(r[1] for r in repair_ranges)
+        lines.append(f"repair with: --repair_mode 1 "
+                     f"--start_frame {lo} --end_frame {hi}")
+    else:
+        lines.append("all subclips OK (lengths match names, no gaps/overlaps)")
+
+    if video_dir and os.path.isfile(video_dir):
+        from vr_video_generator_tpu.video.reader import probe_video
+
+        _, n_frames, _, _ = probe_video(video_dir)
+        covered = last_end + 1 - first_begin
+        if first_begin == 0 and last_end + 1 >= n_frames and not issues:
+            lines.append(f"coverage complete: {covered}/{n_frames} "
+                         f"source frames")
+        else:
+            lines.append(f"coverage: frames [{first_begin}, {last_end}] of "
+                         f"{n_frames} source frames")
+    return "\n".join(lines)
 
 
 def _with_auto_output(fields: Dict[str, str]) -> Dict[str, str]:

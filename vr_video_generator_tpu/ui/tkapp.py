@@ -23,7 +23,7 @@ from typing import Callable, Dict, Optional
 
 from vr_video_generator_tpu.ui.app import (DEFAULT_FIELDS, PipelineProcess,
                                            _with_auto_output, auto_output_name,
-                                           build_command)
+                                           build_command, integrity_report)
 
 # Combo labels mirror the reference's descriptive items
 # (reference UserInterface.py:232-233, :253-255).
@@ -120,6 +120,13 @@ class FormModel:
         if not os.path.isdir(dbg):
             return []
         return sorted(os.listdir(dbg))
+
+    def verify_report(self) -> str:
+        """Subclip integrity report — implements the reference's dormant
+        "Verify Integrity" button (reference UserInterface.py:276,
+        callback=None)."""
+        return integrity_report(self.fields["SubClipDir"],
+                                self.fields["VideoDir"])
 
 
 def run_app() -> int:  # pragma: no cover - needs a display
@@ -240,6 +247,10 @@ def run_app() -> int:  # pragma: no cover - needs a display
             "Debug folder",
             "\n".join(files) if files else "(no debug files yet)")
 
+    def do_verify() -> None:
+        refresh_preview()
+        messagebox.showinfo("Verify Integrity", model.verify_report())
+
     btns = ttk.Frame(body)
     btns.grid(row=row, column=0, columnspan=3, pady=6)
     tk.Button(btns, text="Run Script", bg="#148C14", fg="white",
@@ -247,6 +258,8 @@ def run_app() -> int:  # pragma: no cover - needs a display
     tk.Button(btns, text="Stop Script", bg="#8C1414", fg="white",
               command=model.stop).pack(side="left", padx=4)
     ttk.Button(btns, text="View Debug Folder", command=do_debug).pack(
+        side="left", padx=4)
+    ttk.Button(btns, text="Verify Integrity", command=do_verify).pack(
         side="left", padx=4)
 
     refresh_preview()
