@@ -215,3 +215,80 @@ def test_ui_exposes_depth_stride():
     assert DEFAULT_FIELDS["depth_stride"] == "1"
     cmd = build_command(dict(DEFAULT_FIELDS, depth_stride="2"))
     assert "--depth_stride" in cmd and cmd[cmd.index("--depth_stride") + 1] == "2"
+
+
+# ------------------------------------------------------------- audit level
+
+def test_stride_audit_zero_on_static_video(tiny_model, rng):
+    """Identical frames: anchors equal, lerp is the identity -> error at the
+    numeric noise floor (XLA doesn't guarantee bitwise row-identical batch
+    forwards, so exact 0.0 is not contractual; measured ~1e-11)."""
+    pipe = make_pipeline(tiny_model, stride=2, batch=4)
+    frames = np.repeat(rng.integers(0, 256, (1, H, W, 3), dtype=np.uint8),
+                       4, axis=0)
+    rms, mx = pipe.stride_audit(frames, pipe.initial_state())
+    assert rms < 1e-8 and mx < 1e-6
+
+
+def test_stride_audit_detects_motion_and_is_read_only(tiny_model, rng):
+    """Changing frames produce a nonzero error; the audit must not perturb
+    the state or the step output (it runs before step() in the runtime)."""
+    pipe = make_pipeline(tiny_model, stride=2, batch=4)
+    frames = rng.integers(0, 256, (4, H, W, 3), dtype=np.uint8)
+    ref, _ = pipe.step(frames, pipe.initial_state())
+
+    st = pipe.initial_state()
+    rms, mx = pipe.stride_audit(frames, st)
+    assert np.isfinite(rms) and np.isfinite(mx)
+    assert mx >= rms > 0.0
+    out, _ = pipe.step(frames, st)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+    with pytest.raises(ValueError, match="depth_stride"):
+        make_pipeline(tiny_model, stride=1, batch=4).stride_audit(
+            frames, pipe.initial_state())
+
+
+def test_stride_audit_logged_by_segment_runner(tiny_model, tmp_path, rng):
+    """--stride_audit_every N: the worker log carries sampled audit lines
+    for full batches only (the padded final batch is skipped)."""
+    import dataclasses
+    import os
+
+    from tests.test_video import write_synthetic_video
+    from vr_video_generator_tpu.runtime.segment import process_segment
+    from vr_video_generator_tpu.utils.logging import WorkerLog
+    from vr_video_generator_tpu.video.reader import VideoReader, probe_video
+    from vr_video_generator_tpu.video.writer import SubclipWriter
+
+    video = tmp_path / "in.mp4"
+    write_synthetic_video(video, 10, h=H, w=W)  # batches: 4, 4, 2+pad
+    model, params = tiny_model
+    cfg = RunConfig(batch_size=4, input_size=56, compute_dtype="float32",
+                    depth_stride=2, stride_audit_every=2)
+    pipe = SbsPipeline(model, params, H, W, run_cfg=cfg)
+    log_path = tmp_path / "seg.txt"
+    fps, *_ = probe_video(str(video))
+    writer = SubclipWriter(str(tmp_path / "out") + os.sep, fps, 2 * W, H,
+                           backend="cv2")
+    with VideoReader(str(video), begin=0) as reader:
+        n = process_segment(pipe, reader, writer, 0, 10, max_frame_count=8,
+                            batch_size=4, log=WorkerLog(str(log_path)))
+    writer.close()
+    assert n == 10
+    text = log_path.read_text()
+    # every_2 over batches 0,1,2: batch 0 audited, batch 1 skipped (sampling),
+    # batch 2 skipped (padded) -> exactly one audit line, for frames [0, 4)
+    lines = [ln for ln in text.splitlines() if "stride audit" in ln]
+    assert len(lines) == 1
+    assert "frames [0, 4)" in lines[0]
+    assert "rms=" in lines[0] and "max=" in lines[0]
+
+
+def test_cli_stride_audit_flag():
+    from vr_video_generator_tpu.cli import parse_run_config
+
+    cfg, _ = parse_run_config(["--stride_audit_every", "50"])
+    assert cfg.stride_audit_every == 50
+    cfg, _ = parse_run_config([])
+    assert cfg.stride_audit_every == 0

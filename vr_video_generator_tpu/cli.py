@@ -78,6 +78,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "linearly interpolate raw depth in between (opt-in "
                         "speed/fidelity trade; 1 = reference parity; must "
                         "divide --batch_size)")
+    p.add_argument("--stride_audit_every", type=int, default=0,
+                   help="with --depth_stride > 1: every N-th full batch, "
+                        "also run the depth net on all frames and log the "
+                        "lerp-vs-true raw-depth rms/max to the worker log "
+                        "(sampled fidelity evidence; 0 = off)")
     p.add_argument("--warmup_frames", type=int, default=32,
                    help="decode this many frames before each segment start "
                         "to prime the temporal smoothing state (0 = "
@@ -130,6 +135,7 @@ def parse_run_config(argv: Optional[List[str]] = None) -> tuple[RunConfig, bool]
         tail=args.tail, reader_backend=args.reader_backend,
         writer_backend=args.writer_backend, warmup_frames=args.warmup_frames,
         depth_stride=args.depth_stride,
+        stride_audit_every=args.stride_audit_every,
         profile_dir=args.profile_dir, mesh_shape=mesh_shape,
     )
     return cfg, args

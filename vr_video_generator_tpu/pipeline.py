@@ -142,6 +142,42 @@ class SbsPipeline:
         return state._replace(overflow=state.overflow * 0)
 
     @functools.cached_property
+    def _stride_audit_fn(self):
+        s = self.run_cfg.depth_stride
+
+        def impl(params, frames_u8, state):
+            true = infer_depth(self.model, params, frames_u8,
+                               input_size=self.run_cfg.input_size,
+                               preprocess=self.preprocess_impl)
+            interp, _ = stride_interpolate(true[s - 1::s], state, s)
+            err = interp - true
+            # anchor frames are bit-exact by construction; report only the
+            # interpolated (non-anchor) frames so rms isn't diluted by zeros
+            nonanchor = (jnp.arange(err.shape[0]) % s) != (s - 1)
+            sq = jnp.mean(err * err, axis=(1, 2))            # (B,)
+            rms = jnp.sqrt(jnp.sum(jnp.where(nonanchor, sq, 0.0))
+                           / jnp.maximum(jnp.sum(nonanchor), 1))
+            mx = jnp.max(jnp.where(nonanchor[:, None, None],
+                                   jnp.abs(err), 0.0))
+            return rms, mx
+
+        return jax.jit(impl)
+
+    def stride_audit(self, frames_u8, state: TemporalState) -> Tuple[float, float]:
+        """Sampled depth-stride fidelity check: run the depth net on EVERY
+        frame of this batch and compare against what the stride path would
+        interpolate from the batch's anchors + the carried ``anchor_prev``.
+        Returns (rms, max) absolute error in scaled raw-depth units over the
+        non-anchor frames. Read-only; call BEFORE step() on the same batch
+        and state (step donates the state). See RunConfig.stride_audit_every
+        for the production sampling hook (runtime/segment.py)."""
+        if self.run_cfg.depth_stride < 2:
+            raise ValueError("stride_audit requires depth_stride > 1")
+        rms, mx = self._stride_audit_fn(self.params, jnp.asarray(frames_u8),
+                                        state)
+        return float(rms), float(mx)
+
+    @functools.cached_property
     def _depth_fn(self):
         # Same preprocess variant as step() — on TPU bf16 that is the folded
         # path, so debug depth maps match what the pipeline actually warps.

@@ -91,6 +91,10 @@ def process_segment(pipeline: SbsPipeline, reader: VideoReader,
             clip_begin += len(chunk)
             clips_written += 1
 
+    audit_every = pipeline.run_cfg.stride_audit_every
+    audit_on = audit_every > 0 and pipeline.run_cfg.depth_stride > 1
+    batch_idx = 0
+
     while True:
         with timer.stage("decode_wait"):
             batch = batches.get()
@@ -101,6 +105,18 @@ def process_segment(pipeline: SbsPipeline, reader: VideoReader,
         if n_real < batch_size:
             pad = np.repeat(batch[-1:], batch_size - n_real, axis=0)
             batch = np.concatenate([batch, pad], axis=0)
+        # Sampled stride-fidelity audit (full batches only — padded copies
+        # would skew the error stats). Read-only, so it must run before the
+        # step donates the state; syncs the device for this batch, which is
+        # why it is sampled (RunConfig.stride_audit_every).
+        if audit_on and n_real == batch_size and batch_idx % audit_every == 0:
+            with timer.stage("stride_audit"):
+                rms, mx = pipeline.stride_audit(batch, state)
+            log.write(f"stride audit frames [{begin + frames_done}, "
+                      f"{begin + frames_done + n_real}): lerp-vs-true raw "
+                      f"depth rms={rms:.4f} max={mx:.4f} (scaled units; "
+                      f"cap={pipeline.spec.cfg.limit_step_cap})")
+        batch_idx += 1
         with timer.stage("device_dispatch"):
             sbs_dev, state = pipeline.step(batch, state, n_valid=n_real)
         if prev_sbs is not None:

@@ -201,6 +201,13 @@ class RunConfig:
     # (the reference itself blends 3 consecutive raw maps), so stride 2 cuts
     # the dominant depth-net cost ~2x at a bounded depth lag.
     depth_stride: int = 1
+    # Depth-stride fidelity audit: every N-th full batch, additionally run
+    # the depth net on ALL frames and log the lerp-vs-true raw-depth error
+    # (rms/max over the batch's non-anchor frames, scaled units) to the
+    # worker log — sampled production evidence for the stride trade at
+    # ~1/N of the cost stride saves. 0 = off; only meaningful with
+    # depth_stride > 1 (single-chip runtime).
+    stride_audit_every: int = 0
     # Halo warm-up: decode this many frames before each segment start to
     # prime the temporal state (the reference resets per segment — a known
     # smoothing discontinuity). The 2-tap depth history is exact after 2
