@@ -115,3 +115,40 @@ def test_preprocess_folded_matches_exact(rng):
                                         impl="folded").astype(jnp.float32))
     assert np.abs(bf16 - exact).max() < 0.08
     assert np.abs(bf16 - exact).mean() < 0.01
+
+
+def test_banded_plan_gate_and_exactness(rng):
+    """The banded-blocked apply engages only where it saves work, and its
+    factors are literal slices of the dense weight matrix — per-block the
+    matmul is algebraically identical, so results agree to summation-order
+    noise."""
+    import jax
+    import jax.numpy as jnp
+
+    from vr_video_generator_tpu.ops.resize import (_apply_axis, _banded_plan,
+                                                   cubic_weights)
+
+    # big upsample (the depth endpoint): plan engages and shrinks K
+    w = cubic_weights(518, 1080, align_corners=True)
+    plan = _banded_plan(w)
+    assert plan is not None
+    starts, wblk = plan
+    nb, block, span = wblk.shape
+    assert nb * block >= 1080 and span < 518 // 2
+    # block factors ARE slices of w (padded rows are zero)
+    for i, s in enumerate(starts):
+        rows = w[i * block:(i + 1) * block, s:s + span]
+        np.testing.assert_array_equal(wblk[i][:rows.shape[0]], rows)
+
+    # small in-network grids: dense is cheaper, plan declines
+    assert _banded_plan(cubic_weights(37, 66, align_corners=False)) is None
+
+    # banded vs dense: same numbers up to reduction-order noise
+    x = jnp.asarray(rng.random((2, 518, 31), dtype=np.float32))
+    banded = _apply_axis(x, w, 1, "o", jnp.float32,
+                         jax.lax.Precision.HIGH)
+    dense = jnp.einsum("abc,ob->aoc", x, jnp.asarray(w, jnp.float32),
+                       precision=jax.lax.Precision.HIGH)
+    assert banded.shape == (2, 1080, 31)
+    np.testing.assert_allclose(np.asarray(banded), np.asarray(dense),
+                               rtol=0, atol=1e-5)
