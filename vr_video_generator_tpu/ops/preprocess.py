@@ -67,18 +67,21 @@ def preprocess_frames(frames_rgb_u8: jnp.ndarray, net_hw: Tuple[int, int],
     covers it (docs/BENCHLOG.md).
     """
     if impl == "folded":
-        from vr_video_generator_tpu.ops.resize import area_or_linear_weights
+        from vr_video_generator_tpu.ops.resize import (_apply_axis,
+                                                       area_or_linear_weights)
 
         h_in, w_in = frames_rgb_u8.shape[-3], frames_rgb_u8.shape[-2]
         hn, wn = net_hw
         up = hn > h_in or wn > w_in
-        wh = jnp.asarray(area_or_linear_weights(h_in, hn, up), dtype)
-        ww = jnp.asarray(area_or_linear_weights(w_in, wn, up), dtype)
         scale = jnp.asarray(1.0 / (255.0 * IMAGENET_STD), dtype)
         bias = jnp.asarray(-IMAGENET_MEAN / IMAGENET_STD, dtype)
         x = frames_rgb_u8.astype(dtype)
-        x = jnp.einsum("oh,...hwc->...owc", wh, x)
-        x = jnp.einsum("pw,...owc->...opc", ww, x)
+        # banded-blocked when it pays (the area matrices are ~3-tap banded;
+        # at 1080p -> 518x924 the blocked form does ~4x fewer MXU FLOPs)
+        x = _apply_axis(x, area_or_linear_weights(h_in, hn, up),
+                        x.ndim - 3, "o", dtype, None)
+        x = _apply_axis(x, area_or_linear_weights(w_in, wn, up),
+                        x.ndim - 2, "p", dtype, None)
         return x * scale + bias
     x = frames_rgb_u8.astype(jnp.float32) / 255.0
     x = resize_area_cv2(x, net_hw)
