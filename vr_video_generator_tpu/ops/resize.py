@@ -170,6 +170,11 @@ _LETTERS = "abcdefghijklmn"
 
 _BANDED_BLOCK = 128  # output rows per banded block (one MXU tile)
 
+# A/B knob for controlled chip measurements (day drift makes cross-run
+# comparisons meaningless — docs/BENCHLOG.md): VRVG_BANDED_RESIZE=0 forces
+# the dense einsums everywhere.
+_BANDED_ENABLED = __import__("os").environ.get("VRVG_BANDED_RESIZE", "1") != "0"
+
 
 def _banded_plan(w: np.ndarray, block: int = _BANDED_BLOCK):
     """Decompose a banded (n_out, n_in) weight matrix into per-block dense
@@ -207,7 +212,7 @@ def _apply_axis(x: jnp.ndarray, w: np.ndarray, axis: int, out_ch: str,
     """One (n_out, n_in) weight matrix along ``axis`` of ``x`` — banded-blocked
     when the band structure makes it cheaper, dense einsum otherwise."""
     src = _LETTERS[:x.ndim]
-    plan = _banded_plan(w)
+    plan = _banded_plan(w) if _BANDED_ENABLED else None
     if plan is None:
         out = src.replace(src[axis], out_ch)
         return jnp.einsum(f"{src},{out_ch}{src[axis]}->{out}", x,
