@@ -292,3 +292,65 @@ def test_cli_stride_audit_flag():
     assert cfg.stride_audit_every == 50
     cfg, _ = parse_run_config([])
     assert cfg.stride_audit_every == 0
+
+
+def test_sharded_stride_audit_matches_single_chip(tiny_model, rng):
+    """Per-slot sharded audit == the single-chip audit on that slot's frames
+    (same stride_audit_stats math under shard_map)."""
+    from vr_video_generator_tpu.parallel.mesh import make_mesh
+    from vr_video_generator_tpu.parallel.sharded import ShardedSbsPipeline
+
+    model, params = tiny_model
+    cfg = RunConfig(batch_size=4, input_size=56, compute_dtype="float32",
+                    depth_stride=2)
+    mesh = make_mesh((4, 2))
+    sharded = ShardedSbsPipeline(model, params, H, W, mesh, run_cfg=cfg)
+    n_data, b = 4, 4
+    frames = rng.integers(0, 256, (n_data * b, H, W, 3), dtype=np.uint8)
+    stats = sharded.stride_audit(frames, sharded.initial_state())
+    assert sorted(stats) == [0, 1, 2, 3]
+
+    single = SbsPipeline(model, params, H, W, run_cfg=cfg)
+    for slot in range(n_data):
+        rms, mx = single.stride_audit(frames[slot * b:(slot + 1) * b],
+                                      single.initial_state())
+        s_rms, s_mx = stats[slot]
+        np.testing.assert_allclose([s_rms, s_mx], [rms, mx],
+                                   rtol=1e-4, atol=1e-6)
+
+    with pytest.raises(ValueError, match="depth_stride"):
+        ShardedSbsPipeline(model, params, H, W, mesh,
+                           run_cfg=dataclasses_replace(cfg, depth_stride=1)
+                           ).stride_audit(frames, None)
+
+
+def dataclasses_replace(cfg, **kw):
+    import dataclasses
+    return dataclasses.replace(cfg, **kw)
+
+
+def test_sharded_runner_logs_stride_audit(tiny_model, tmp_path):
+    from tests.test_video import write_synthetic_video
+    from vr_video_generator_tpu.parallel.mesh import make_mesh
+    from vr_video_generator_tpu.parallel.sharded import ShardedSbsPipeline
+    from vr_video_generator_tpu.runtime.sharded_runner import run_sharded
+    from vr_video_generator_tpu.utils.logging import WorkerLog
+
+    model, params = tiny_model
+    video = tmp_path / "in.mp4"
+    write_synthetic_video(video, 16, h=H, w=W)
+    cfg = RunConfig(batch_size=4, input_size=56, compute_dtype="float32",
+                    depth_stride=2, stride_audit_every=1)
+    mesh = make_mesh((2, 1), devices=jax.devices()[:2])
+    pipe = ShardedSbsPipeline(model, params, H, W, mesh, run_cfg=cfg)
+    log_path = tmp_path / "sharded.txt"
+    n = run_sharded(pipe, str(video), str(tmp_path / "sub") + "/", 0, 16,
+                    max_frame_count=8, batch_size=4,
+                    writer_backend="cv2", log=WorkerLog(str(log_path)))
+    assert n == 16
+    lines = [ln for ln in log_path.read_text().splitlines()
+             if "stride audit" in ln]
+    # 2 slots x 2 full steps, audited every step
+    assert len(lines) == 4
+    assert any("slot 0 frames [0, 4)" in ln for ln in lines)
+    assert any("slot 1 frames [8, 12)" in ln for ln in lines)

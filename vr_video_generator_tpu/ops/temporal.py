@@ -113,6 +113,27 @@ def temporal_scan(raw_depths: jnp.ndarray, state: TemporalState,
     return blended, ranges, new_state
 
 
+def stride_audit_stats(true_depths: jnp.ndarray, state: TemporalState,
+                       stride: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(B, H, W) TRUE raw depths -> (rms, max) scalar interpolation error.
+
+    The fidelity half of the depth-stride trade, measured in-graph: what the
+    stride path would have interpolated for this batch (anchors = the true
+    depth of every ``stride``-th frame + the carried ``state.anchor_prev``)
+    minus the true depth, reduced over the batch's NON-anchor frames (anchor
+    frames are exact by construction). Units: scaled raw depth. Consumed by
+    the sampled production audit (RunConfig.stride_audit_every)."""
+    interp, _ = stride_interpolate(true_depths[stride - 1::stride], state,
+                                   stride)
+    err = interp - true_depths
+    nonanchor = (jnp.arange(err.shape[0]) % stride) != (stride - 1)
+    sq = jnp.mean(err * err, axis=(1, 2))  # (B,)
+    rms = jnp.sqrt(jnp.sum(jnp.where(nonanchor, sq, 0.0))
+                   / jnp.maximum(jnp.sum(nonanchor), 1))
+    mx = jnp.max(jnp.where(nonanchor[:, None, None], jnp.abs(err), 0.0))
+    return rms, mx
+
+
 def stride_interpolate(anchors: jnp.ndarray, state: TemporalState,
                        stride: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Depth-stride expansion: (G, H, W) anchor depths -> (G*stride, H, W).

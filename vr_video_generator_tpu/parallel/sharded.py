@@ -177,6 +177,68 @@ class ShardedSbsPipeline:
         return self._step(self.params, frames_u8,
                           states, jnp.asarray(n_valid, jnp.int32))
 
+    @functools.cached_property
+    def _audit(self):
+        data_sharding = NamedSharding(self.mesh, P("data"))
+        state_shardings = jax.tree.map(
+            lambda _: data_sharding,
+            batched_initial_state(1, 1, 1, self.depth_stride))
+        return jax.jit(  # read-only: no donation — step() runs afterwards
+            self._audit_impl,
+            in_shardings=(None, data_sharding, state_shardings),
+            out_shardings=(data_sharding, data_sharding))
+
+    def _audit_impl(self, params, frames_u8, states: TemporalState):
+        n, h, w, _ = frames_u8.shape
+        d = self.n_data
+        b = n // d
+        true = infer_depth(self.model, params, frames_u8,
+                           input_size=self.run_cfg.input_size,
+                           preprocess=self.preprocess_impl)
+        true = jax.lax.with_sharding_constraint(
+            true, NamedSharding(self.mesh, P("data")))
+        specs = _state_specs(with_anchor=True)
+        return jax.shard_map(
+            functools.partial(_local_stride_audit, stride=self.depth_stride),
+            mesh=self.mesh,
+            in_specs=(P("data"), specs),
+            out_specs=(P("data"), P("data")),
+        )(true.reshape(d, b, h, w), states)
+
+    def _per_slot_audit(self, rms, mx):
+        """{global data slot -> (rms, max)} for this process's shards (each
+        shard of a (n_data,)-over-'data' array covers exactly one slot)."""
+        out = {}
+        for sr, sm in zip(rms.addressable_shards, mx.addressable_shards):
+            slot = sr.index[0].start or 0
+            out[slot] = (float(np.asarray(sr.data)[0]),
+                         float(np.asarray(sm.data)[0]))
+        return out
+
+    def stride_audit(self, frames_u8, states: TemporalState):
+        """Sampled depth-stride fidelity check over the mesh: run the depth
+        net on EVERY frame and compare against what the stride path would
+        interpolate per data slot (same math as SbsPipeline.stride_audit —
+        ops/temporal.stride_audit_stats). Read-only; call BEFORE step() on
+        the same inputs. Returns {slot: (rms, max)} in scaled depth units."""
+        if self.depth_stride < 2:
+            raise ValueError("stride_audit requires depth_stride > 1")
+        rms, mx = self._audit(self.params, jnp.asarray(frames_u8), states)
+        return self._per_slot_audit(rms, mx)
+
+    def stride_audit_local(self, local_frames_u8, states: TemporalState):
+        """Multi-host stride_audit: takes only this process's slots (same
+        layout as step_local); returns this process's {slot: (rms, max)}."""
+        if self.depth_stride < 2:
+            raise ValueError("stride_audit requires depth_stride > 1")
+        n_local, h, w, _ = local_frames_u8.shape
+        n_global = n_local * (self.n_data // max(len(self.local_slots), 1))
+        sharding = NamedSharding(self.mesh, P("data"))
+        frames = jax.make_array_from_process_local_data(
+            sharding, np.asarray(local_frames_u8), (n_global, h, w, 3))
+        rms, mx = self._audit(self.params, frames, states)
+        return self._per_slot_audit(rms, mx)
+
     def step_local(self, local_frames_u8, states: TemporalState,
                    n_valid_local=None):
         """Multi-host step: ``local_frames_u8`` holds only this process's
@@ -212,6 +274,17 @@ def _local_warp(frames_local, blended_local, ranges_local, *, spec: WarpSpec,
     batched warp — identical kernels to the single-chip path."""
     return spec.warp_batch(frames_local, blended_local, ranges_local,
                            emit=emit, interpret=interpret)
+
+
+def _local_stride_audit(true_local, state_local: TemporalState, *,
+                        stride: int):
+    """Body run per data shard: (1, B, H, W) true depths + leading-1 state
+    -> (1,) rms / (1,) max interpolation error for this slot's batch."""
+    from vr_video_generator_tpu.ops.temporal import stride_audit_stats
+
+    state = jax.tree.map(lambda x: x[0], state_local)
+    rms, mx = stride_audit_stats(true_local[0], state, stride)
+    return rms[None], mx[None]
 
 
 def _local_temporal_scan(depth_local, state_local: TemporalState,

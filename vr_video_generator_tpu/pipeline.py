@@ -30,6 +30,7 @@ from vr_video_generator_tpu.models.depth_anything_v2 import DepthAnythingV2, inf
 from vr_video_generator_tpu.models.factory import load_model
 from vr_video_generator_tpu.ops.temporal import (
     TemporalState,
+    stride_audit_stats,
     stride_interpolate,
     temporal_scan,
 )
@@ -149,17 +150,7 @@ class SbsPipeline:
             true = infer_depth(self.model, params, frames_u8,
                                input_size=self.run_cfg.input_size,
                                preprocess=self.preprocess_impl)
-            interp, _ = stride_interpolate(true[s - 1::s], state, s)
-            err = interp - true
-            # anchor frames are bit-exact by construction; report only the
-            # interpolated (non-anchor) frames so rms isn't diluted by zeros
-            nonanchor = (jnp.arange(err.shape[0]) % s) != (s - 1)
-            sq = jnp.mean(err * err, axis=(1, 2))            # (B,)
-            rms = jnp.sqrt(jnp.sum(jnp.where(nonanchor, sq, 0.0))
-                           / jnp.maximum(jnp.sum(nonanchor), 1))
-            mx = jnp.max(jnp.where(nonanchor[:, None, None],
-                                   jnp.abs(err), 0.0))
-            return rms, mx
+            return stride_audit_stats(true, state, s)
 
         return jax.jit(impl)
 

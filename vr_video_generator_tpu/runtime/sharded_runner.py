@@ -189,7 +189,10 @@ def run_sharded(pipeline: ShardedSbsPipeline, video_path: str,
             writer.write_clip(seg.clip_begin, chunk)
             seg.clip_begin += len(chunk)
 
-    for _ in range(n_steps):
+    audit_every = pipeline.run_cfg.stride_audit_every
+    audit_on = audit_every > 0 and pipeline.depth_stride > 1
+
+    for step_idx in range(n_steps):
         batch = np.zeros((len(owned), b, h, w, 3), np.uint8)
         counts = []
         for slot_i, i in enumerate(owned):
@@ -203,6 +206,23 @@ def run_sharded(pipeline: ShardedSbsPipeline, video_path: str,
             counts.append(n_want)
         local = batch.reshape(len(owned) * b, h, w, 3)
         n_valid = np.asarray(counts, np.int32)
+        # Sampled stride-fidelity audit. The trigger is the (globally
+        # uniform) step index — NOT per-slot fill levels: the audit launches
+        # a global SPMD program, so a per-process condition would leave some
+        # hosts out of the collectives and deadlock the rest. Padded slots
+        # still compute (garbage) stats; they are simply not logged.
+        if audit_on and step_idx % audit_every == 0:
+            stats = (pipeline.stride_audit_local(local, states) if multi_host
+                     else pipeline.stride_audit(local, states))
+            for slot_i, i in enumerate(owned):
+                if counts[slot_i] == b and i in stats:
+                    rms, mx = stats[i]
+                    seg = segs[i]
+                    log.write(f"stride audit slot {i} frames "
+                              f"[{seg.cursor}, {seg.cursor + b}): "
+                              f"lerp-vs-true raw depth rms={rms:.4f} "
+                              f"max={mx:.4f} (scaled units; "
+                              f"cap={pipeline.spec.cfg.limit_step_cap})")
         if multi_host:
             sbs, states = pipeline.step_local(local, states, n_valid)
             shards = {s.index[0].start or 0: np.asarray(s.data)

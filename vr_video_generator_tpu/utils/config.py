@@ -206,7 +206,7 @@ class RunConfig:
     # (rms/max over the batch's non-anchor frames, scaled units) to the
     # worker log — sampled production evidence for the stride trade at
     # ~1/N of the cost stride saves. 0 = off; only meaningful with
-    # depth_stride > 1 (single-chip runtime).
+    # depth_stride > 1. Single-chip and sharded runtimes (per-slot lines).
     stride_audit_every: int = 0
     # Halo warm-up: decode this many frames before each segment start to
     # prime the temporal state (the reference resets per segment — a known
