@@ -50,6 +50,7 @@ DEFAULT_FIELDS: Dict[str, str] = {
     "batch_size": "8",
     "compute_dtype": "bfloat16",
     "depth_stride": "1",
+    "stride_audit_every": "0",
 }
 
 

@@ -43,7 +43,7 @@ PATH_FIELDS = ("VideoDir", "OutputDir", "DebugDir", "SubClipDir",
                "encoder_path")
 INT_FIELDS = ("offset_step_size", "Num_Workers", "num_gpu", "Num_GPU_Workers",
               "Max_Frame_Count", "start_frame", "end_frame", "batch_size",
-              "depth_stride")
+              "depth_stride", "stride_audit_every")
 FLOAT_FIELDS = ("offset_fg", "offset_bg")
 
 
