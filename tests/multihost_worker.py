@@ -33,19 +33,26 @@ def main() -> int:
     from vr_video_generator_tpu.runtime.sharded_runner import run_sharded
     from vr_video_generator_tpu.utils.config import ModelConfig, RunConfig
 
+    from vr_video_generator_tpu.utils.logging import WorkerLog
+
     h, w, n_frames = 48, 64, 24
     mesh = make_global_mesh((8, 1))
     model = DepthAnythingV2(ModelConfig.for_encoder("vits"), dtype=jnp.float32)
     params = random_params(model)
+    # depth_stride + audit: exercises step_local AND stride_audit_local
+    # across a real process boundary (the audit trigger must stay globally
+    # uniform or the SPMD programs desync — runtime/sharded_runner.py)
     cfg = RunConfig(batch_size=2, input_size=42, compute_dtype="float32",
-                    warp_impl="xla", encoder="vits")
+                    warp_impl="xla", encoder="vits", depth_stride=2,
+                    stride_audit_every=1)
     pipe = ShardedSbsPipeline(model, params, h, w, mesh, run_cfg=cfg)
     owned = pipe.local_slots
     assert 0 < len(owned) < 8, owned  # each host owns a strict subset
 
     done = run_sharded(pipe, os.path.join(tmpdir, "in.mp4"),
                        os.path.join(tmpdir, "Subclip/"), 0, n_frames,
-                       max_frame_count=3, batch_size=2)
+                       max_frame_count=3, batch_size=2,
+                       log=WorkerLog(os.path.join(tmpdir, f"mh_{pid}.txt")))
     print(f"proc {pid}: slots {owned} frames {done}", flush=True)
     return 0
 

@@ -69,3 +69,11 @@ def test_two_process_sharded_conversion(tmp_path):
         lo, hi = os.path.splitext(name)[0].split("_")
         total += int(hi) - int(lo) + 1
     assert total == 24
+
+    # Per-process stride-audit lines: each host logs ONLY its own 4 slots,
+    # full batches only (3 frames/slot at b=2 -> step 0 full, step 1 padded).
+    for pid, slots in ((0, range(0, 4)), (1, range(4, 8))):
+        text = (tmp_path / f"mh_{pid}.txt").read_text()
+        lines = [ln for ln in text.splitlines() if "stride audit" in ln]
+        got = sorted(int(ln.split("slot ")[1].split()[0]) for ln in lines)
+        assert got == list(slots), text[-1500:]
