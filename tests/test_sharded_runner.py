@@ -151,6 +151,42 @@ def test_sharded_warmup_matches_single_chip_primed_state(tmp_path):
                                           np.asarray(want))
 
 
+def test_warmup_equal_across_runtimes_at_short_begin_with_stride(tmp_path):
+    """begin < warmup AND depth_stride > 1: the warm-up window's front pads
+    prime the anchor carry (they are NOT a fixed point like at stride 1), so
+    the pad count is part of the trajectory. Both runtimes must pad to the
+    same fixed k = ceil(warmup/b) batches — the case a per-window pad count
+    used to get wrong (single-chip padded only to ceil(n_real/b))."""
+    import jax
+
+    from vr_video_generator_tpu.runtime.sharded_runner import _primed_states
+
+    video = tmp_path / "in.mp4"
+    write_synthetic_video(video, 12, h=H, w=W)
+    cfg = RunConfig(batch_size=2, input_size=56, compute_dtype="float32",
+                    depth_stride=2)
+    model = DepthAnythingV2(TINY, dtype=jnp.float32)
+    params = random_params(model)
+    begins, warmup = [2, 9], 4  # slot 0: only 2 preceding frames < warmup
+
+    mesh = make_mesh((2, 1), devices=jax.devices()[:2])
+    sharded = ShardedSbsPipeline(model, params, H, W, mesh, run_cfg=cfg)
+    states = _primed_states(sharded, begins, str(video), b=2, warmup=warmup,
+                            reader_backend="cv2", multi_host=False,
+                            any_preceding=True, global_begins=begins)
+
+    single = SbsPipeline(model, params, H, W, run_cfg=cfg)
+    for i, lo in enumerate(begins):
+        wu = max(0, lo - warmup)
+        with VideoReader(str(video), begin=wu) as r:
+            warm = np.stack(list(r.frames(wu, lo)))
+        ref = single.primed_state(warm, batch_size=2,
+                                  min_batches=-(-warmup // 2))
+        for got, want in zip(jax.tree.leaves(states), jax.tree.leaves(ref)):
+            np.testing.assert_array_equal(np.asarray(got)[i],
+                                          np.asarray(want))
+
+
 def test_overflow_diagnostic_counts_only_real_frames(tmp_path):
     """An over-cap depth (huge depth_scaler) on a segment whose final batch
     is host-padded must report exactly the real frame count — pads, and the

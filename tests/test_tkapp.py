@@ -112,3 +112,16 @@ def test_verify_report_ok_and_broken(tmp_path):
     assert "regenerate frames [4, 6)" in report
     assert "--repair_mode 1 --start_frame 4 --end_frame 6" in report
     assert "coverage: frames [0, 9] of 10" in report
+
+
+def test_verify_report_survives_stray_files(tmp_path):
+    """A leftover file that breaks the numeric subclip-name sort must produce
+    a readable report line, not a traceback out of the UI callback."""
+    subdir = tmp_path / "sub"
+    subdir.mkdir()
+    (subdir / "backup4").write_bytes(b"")  # ends in '4': picked up by sort
+    m = FormModel()
+    m.set_field("SubClipDir", str(subdir))
+    report = m.verify_report()
+    assert "cannot parse subclip names" in report
+    assert "expected" in report

@@ -21,6 +21,7 @@ convolution with A=-0.75).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -173,7 +174,7 @@ _BANDED_BLOCK = 128  # output rows per banded block (one MXU tile)
 # A/B knob for controlled chip measurements (day drift makes cross-run
 # comparisons meaningless — docs/BENCHLOG.md): VRVG_BANDED_RESIZE=0 forces
 # the dense einsums everywhere.
-_BANDED_ENABLED = __import__("os").environ.get("VRVG_BANDED_RESIZE", "1") != "0"
+_BANDED_ENABLED = os.environ.get("VRVG_BANDED_RESIZE", "1") != "0"
 
 
 def _banded_plan(w: np.ndarray, block: int = _BANDED_BLOCK):

@@ -66,13 +66,11 @@ class ShardedSbsPipeline:
         self.height, self.width = height, width
         self.spec = WarpSpec.create(height, width, self.run_cfg.stereo(),
                                     impl=self.run_cfg.warp_impl)
-        from vr_video_generator_tpu.pipeline import _resolve_preprocess
+        from vr_video_generator_tpu.pipeline import (_resolve_preprocess,
+                                                     _resolve_sbs_emit)
 
         self.preprocess_impl = _resolve_preprocess(self.run_cfg, model)
-        emit = self.run_cfg.sbs_output
-        if emit == "auto":
-            emit = "u8"  # same resolution as SbsPipeline
-        self.sbs_emit = emit
+        self.sbs_emit = _resolve_sbs_emit(self.run_cfg)
         self.params = shard_params(params, mesh)
 
         from vr_video_generator_tpu.pipeline import _check_depth_stride

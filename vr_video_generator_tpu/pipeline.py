@@ -49,10 +49,7 @@ class SbsPipeline:
         self.height, self.width = height, width
         self.spec = WarpSpec.create(height, width, self.run_cfg.stereo(),
                                     impl=self.run_cfg.warp_impl)
-        emit = self.run_cfg.sbs_output
-        if emit == "auto":
-            emit = "u8"  # packed is opt-in: device win ~0.02 ms/frame, D2H +33%
-        self.sbs_emit = emit
+        self.sbs_emit = _resolve_sbs_emit(self.run_cfg)
         self.preprocess_impl = _resolve_preprocess(self.run_cfg, model)
         _check_depth_stride(self.run_cfg)
         self._step = jax.jit(self._step_impl, donate_argnums=(2,))
@@ -110,7 +107,8 @@ class SbsPipeline:
         Traced, so distinct values share one compilation."""
         return self._step(self.params, jnp.asarray(frames_u8), state, n_valid)
 
-    def primed_state(self, warm_frames, batch_size: int) -> TemporalState:
+    def primed_state(self, warm_frames, batch_size: int,
+                     min_batches: int = 0) -> TemporalState:
         """Prime the temporal state on frames [begin-W, begin) so a segment
         start continues the full-video sequence instead of resetting.
 
@@ -119,11 +117,21 @@ class SbsPipeline:
         discontinuity (SURVEY.md §5). Feeding the preceding frames through
         the normal step and discarding the SBS output removes it.
 
-        Exactness of batching: copies of the first fed frame are a fixed
-        point of the state — the cold start sets d1 = d2 = raw[0]
-        (ops/temporal.py), and the 50/50 offset-range EWMA is idempotent on
-        equal values — so front-padding the window to whole batches is
-        exact, and no second compiled program is needed.
+        Exactness of batching at depth_stride == 1: copies of the first fed
+        frame are a fixed point of the state — the cold start sets
+        d1 = d2 = raw[0] (ops/temporal.py), and the 50/50 offset-range EWMA
+        is idempotent on equal values — so front-padding the window to whole
+        batches is exact, and no second compiled program is needed.
+
+        ``min_batches`` pins the number of fed batches regardless of window
+        length. With depth_stride > 1 the front pads are NOT a fixed point
+        (they prime the anchor carry), so the pad count is part of the
+        defined warm-up trajectory: the runtimes pass
+        ceil(warmup_frames/batch) so a segment whose begin is shorter than
+        the warm-up window (begin < warmup) primes identically whether it is
+        dispatched single-chip or as a sharded slot
+        (runtime/sharded_runner._primed_states uses the same fixed k across
+        slots — the SPMD trip count must be globally uniform anyway).
         """
         import numpy as np
 
@@ -132,7 +140,7 @@ class SbsPipeline:
         n = warm.shape[0]
         if n == 0:
             return state
-        k = -(-n // batch_size)
+        k = max(-(-n // batch_size), min_batches)
         pad = k * batch_size - n
         if pad:
             warm = np.concatenate([np.repeat(warm[:1], pad, axis=0), warm])
@@ -189,6 +197,13 @@ def _check_depth_stride(run_cfg: RunConfig) -> None:
         raise ValueError(
             f"depth_stride={s} must divide batch_size={run_cfg.batch_size} "
             "(each device batch is split into whole anchor groups)")
+
+
+def _resolve_sbs_emit(run_cfg: RunConfig) -> str:
+    emit = run_cfg.sbs_output
+    if emit == "auto":
+        emit = "u8"  # packed is opt-in: device win ~0.02 ms/frame, D2H +33%
+    return emit
 
 
 def _resolve_preprocess(run_cfg: RunConfig, model: DepthAnythingV2) -> str:

@@ -71,7 +71,11 @@ def convert_range(cfg: RunConfig, begin: int, end: int,
             with VideoReader(cfg.video_dir, begin=wu_begin,
                              backend=cfg.reader_backend) as wr:
                 warm = np.stack(list(wr.frames(wu_begin, begin)))
-            init_state = pipeline.primed_state(warm, cfg.batch_size)
+            # min_batches pins the pad count at begin < warmup so the primed
+            # state matches a sharded-slot warm-up exactly (see primed_state)
+            init_state = pipeline.primed_state(
+                warm, cfg.batch_size,
+                min_batches=-(-cfg.warmup_frames // cfg.batch_size))
         with VideoReader(cfg.video_dir, begin=begin,
                          backend=cfg.reader_backend) as reader:
             return process_segment(pipeline, reader, writer, begin, end,

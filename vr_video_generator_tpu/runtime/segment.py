@@ -25,7 +25,8 @@ from typing import List, Optional
 import numpy as np
 
 from vr_video_generator_tpu.pipeline import SbsPipeline
-from vr_video_generator_tpu.utils.logging import ProgressMeter, WorkerLog
+from vr_video_generator_tpu.utils.logging import (ProgressMeter, WorkerLog,
+                                                  stride_audit_line)
 from vr_video_generator_tpu.video.reader import VideoReader
 from vr_video_generator_tpu.video.writer import SubclipWriter
 
@@ -112,10 +113,10 @@ def process_segment(pipeline: SbsPipeline, reader: VideoReader,
         if audit_on and n_real == batch_size and batch_idx % audit_every == 0:
             with timer.stage("stride_audit"):
                 rms, mx = pipeline.stride_audit(batch, state)
-            log.write(f"stride audit frames [{begin + frames_done}, "
-                      f"{begin + frames_done + n_real}): lerp-vs-true raw "
-                      f"depth rms={rms:.4f} max={mx:.4f} (scaled units; "
-                      f"cap={pipeline.spec.cfg.limit_step_cap})")
+            log.write(stride_audit_line(begin + frames_done,
+                                        begin + frames_done + n_real,
+                                        rms, mx,
+                                        pipeline.spec.cfg.limit_step_cap))
         batch_idx += 1
         with timer.stage("device_dispatch"):
             sbs_dev, state = pipeline.step(batch, state, n_valid=n_real)

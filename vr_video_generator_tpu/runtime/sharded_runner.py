@@ -21,7 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from vr_video_generator_tpu.parallel.sharded import ShardedSbsPipeline
-from vr_video_generator_tpu.utils.logging import ProgressMeter, WorkerLog
+from vr_video_generator_tpu.utils.logging import (ProgressMeter, WorkerLog,
+                                                  stride_audit_line)
 from vr_video_generator_tpu.video.reader import VideoReader
 from vr_video_generator_tpu.video.writer import SubclipWriter
 
@@ -90,8 +91,11 @@ def _primed_states(pipeline: ShardedSbsPipeline, slot_begins: List[int],
         # bounds host memory at n_slots*b frames instead of staging the whole
         # n_slots*k*b warm-up (multi-GB at 4K geometries). Exactly ``warmup``
         # real frames (not k*b) so the primed state matches the single-chip
-        # path bit-for-bit (SbsPipeline.primed_state on frames
-        # [lo - warmup, lo) front-padded to whole batches).
+        # path bit-for-bit: SbsPipeline.primed_state on frames
+        # [max(0, lo - warmup), lo) with min_batches = k — the same fixed k
+        # is used there so slots with begin < warmup (more front pads, which
+        # are NOT a fixed point under depth_stride > 1) prime identically in
+        # both runtimes.
         wu_begin = max(0, lo - warmup)
         n_real = max(lo - wu_begin, 1)
         with VideoReader(video_path, begin=wu_begin,
@@ -218,11 +222,9 @@ def run_sharded(pipeline: ShardedSbsPipeline, video_path: str,
                 if counts[slot_i] == b and i in stats:
                     rms, mx = stats[i]
                     seg = segs[i]
-                    log.write(f"stride audit slot {i} frames "
-                              f"[{seg.cursor}, {seg.cursor + b}): "
-                              f"lerp-vs-true raw depth rms={rms:.4f} "
-                              f"max={mx:.4f} (scaled units; "
-                              f"cap={pipeline.spec.cfg.limit_step_cap})")
+                    log.write(stride_audit_line(
+                        seg.cursor, seg.cursor + b, rms, mx,
+                        pipeline.spec.cfg.limit_step_cap, slot=i))
         if multi_host:
             sbs, states = pipeline.step_local(local, states, n_valid)
             shards = {s.index[0].start or 0: np.asarray(s.data)

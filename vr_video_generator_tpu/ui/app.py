@@ -166,6 +166,19 @@ def integrity_report(subclip_dir: str, video_dir: str = "") -> str:
 
     if not os.path.isdir(subclip_dir):
         return f"no subclip directory at {subclip_dir}"
+    try:
+        return _integrity_report_body(subclip_dir, video_dir,
+                                      check_subclips, parse_clip_name,
+                                      sorted_subclips)
+    except ValueError as exc:
+        # stray files (e.g. 'backup4', 'clip_v4.mp4') break the numeric name
+        # sort; a report action must not crash the UI over them
+        return (f"cannot parse subclip names in {subclip_dir}: {exc} — "
+                "expected '{begin}_{end_inclusive}.mp4'")
+
+
+def _integrity_report_body(subclip_dir, video_dir, check_subclips,
+                           parse_clip_name, sorted_subclips) -> str:
     names = sorted_subclips(subclip_dir)
     if not names:
         return f"no subclips in {subclip_dir}"

@@ -97,3 +97,13 @@ class ProgressMeter:
             ", ETA:", per_step * (self.total_steps - steps_taken) / 60.0,
         )
         self.log.write(str(int(steps_taken / self.total_steps * 10000) / 100), " %")
+
+
+def stride_audit_line(lo: int, hi: int, rms: float, mx: float, cap: int,
+                      slot: int | None = None) -> str:
+    """One shared format for the sampled stride-fidelity audit — the
+    single-chip (runtime/segment.py) and sharded (runtime/sharded_runner.py)
+    runtimes must emit identical lines for log-consuming tooling."""
+    where = f"slot {slot} " if slot is not None else ""
+    return (f"stride audit {where}frames [{lo}, {hi}): lerp-vs-true raw "
+            f"depth rms={rms:.4f} max={mx:.4f} (scaled units; cap={cap})")
