@@ -32,18 +32,22 @@ CONFIGS = {
 
 def run_config(config: int, gelu: str = "exact", mesh_shape=None,
                depth_stride: int = 1) -> dict:
-    import jax
+    from vr_video_generator_tpu.utils.cache import (enable_compilation_cache,
+                                                    honor_platform_env)
 
-    from vr_video_generator_tpu.utils.cache import enable_compilation_cache
-
+    # the CPU-smoke path ("runnable anywhere") needs JAX_PLATFORMS=cpu to win
+    # over the site plugin's TPU pin — without this a dead relay hangs it
+    honor_platform_env()
     enable_compilation_cache()
+
+    import jax
 
     import jax.numpy as jnp
 
     from vr_video_generator_tpu.models.depth_anything_v2 import DepthAnythingV2
     from vr_video_generator_tpu.models.factory import random_params
     from vr_video_generator_tpu.pipeline import SbsPipeline
-    from vr_video_generator_tpu.utils.config import ModelConfig, RunConfig
+    from vr_video_generator_tpu.utils.config import RunConfig
 
     on_tpu = jax.default_backend() == "tpu"
     encoder, h, w, b, step = CONFIGS[config]
@@ -153,6 +157,9 @@ def _run_sharded(model, params, h, w, b, cfg, mesh_shape, k_steps) -> dict:
 
 
 def main() -> None:
+    from vr_video_generator_tpu.utils.cache import honor_platform_env
+
+    honor_platform_env()  # before any jax backend init (see run_config)
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=int, default=2, choices=sorted(CONFIGS))
     parser.add_argument("--all", action="store_true",

@@ -1,6 +1,5 @@
 """CLI flag-surface and UI tests."""
 
-import jax.sharding
 
 from vr_video_generator_tpu.cli import parse_run_config
 from vr_video_generator_tpu.ui.app import (

@@ -130,7 +130,6 @@ def test_sharded_with_fused_kernels_matches_single(rng):
     sharded step equals the single-device fused pipeline. Guards the real
     multi-chip path, which the CPU 'auto' gate would otherwise never
     exercise."""
-    import dataclasses
 
     from vr_video_generator_tpu.utils.config import ModelConfig
 

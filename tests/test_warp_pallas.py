@@ -1,6 +1,5 @@
 """Pallas warp kernel parity vs the XLA path (interpreter mode on CPU)."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
