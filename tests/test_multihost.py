@@ -70,10 +70,12 @@ def test_two_process_sharded_conversion(tmp_path):
         total += int(hi) - int(lo) + 1
     assert total == 24
 
-    # Per-process stride-audit lines: each host logs ONLY its own 4 slots,
-    # full batches only (3 frames/slot at b=2 -> step 0 full, step 1 padded).
-    for pid, slots in ((0, range(0, 4)), (1, range(4, 8))):
+    # Per-process stride-audit lines: each host logs ONLY its own slots.
+    # partition_segments rounds the step to the stride grid: 24 frames over
+    # 8 slots at stride 2 -> step 4 -> slots 0-5 own [0,4)..[20,24) (2 full
+    # audited steps each), slots 6-7 are empty (never logged).
+    for pid, expect in ((0, [0, 0, 1, 1, 2, 2, 3, 3]), (1, [4, 4, 5, 5])):
         text = (tmp_path / f"mh_{pid}.txt").read_text()
         lines = [ln for ln in text.splitlines() if "stride audit" in ln]
         got = sorted(int(ln.split("slot ")[1].split()[0]) for ln in lines)
-        assert got == list(slots), text[-1500:]
+        assert got == expect, text[-1500:]

@@ -63,3 +63,74 @@ def test_repair_mode_2_combines_existing(env, monkeypatch, tmp_path):
     orchestrator.run(cfg2, allow_random=True)
     _, frames, w, h = probe_video(cfg.output_dir)
     assert (frames, w, h) == (12, 2 * W, H)
+
+
+class _CaptureWriter:
+    """write_clip-compatible stub capturing raw frames (no codec loss)."""
+
+    def __init__(self, *a, **k):
+        self.clips = {}
+
+    def write_clip(self, begin, frames):
+        self.clips[begin] = np.stack(frames)
+
+    def wait(self):
+        pass
+
+    def close(self):
+        pass
+
+
+def test_repair_range_keeps_absolute_anchor_grid(tmp_path, monkeypatch):
+    """depth_stride > 1: a repair range whose begin is NOT a stride multiple
+    must regenerate frames bit-identical to the original full run — anchor
+    groups align to absolute video frame indices (processing starts at the
+    aligned frame, leading outputs discarded), not to the segment begin."""
+    import dataclasses
+
+    video = tmp_path / "in.mp4"
+    n_frames = 16
+    write_synthetic_video(video, n_frames, h=H, w=W)
+    cfg = RunConfig(
+        video_dir=str(video), debug_dir=str(tmp_path / "Debug") + os.sep,
+        subclip_dir=str(tmp_path / "Subclip") + os.sep,
+        max_frame_count=16, batch_size=4, input_size=56,
+        compute_dtype="float32", depth_stride=2, warmup_frames=4,
+    )
+    os.makedirs(cfg.debug_dir, exist_ok=True)
+    model = DepthAnythingV2(TINY, dtype=jnp.float32)
+    params = random_params(model)
+    pipeline = SbsPipeline(model, params, H, W, run_cfg=cfg)
+
+    # oracle: one cold sequential strided run over the whole video
+    oracle = SbsPipeline(model, params, H, W, run_cfg=cfg)
+    st = oracle.initial_state()
+    outs = []
+    frames = []
+    from vr_video_generator_tpu.video.reader import VideoReader
+    with VideoReader(str(video), begin=0) as r:
+        frames = np.stack(list(r.frames(0, n_frames)))
+    for i in range(0, n_frames, 4):
+        sbs, st = oracle.step(frames[i:i + 4], st)
+        outs.append(np.asarray(sbs))
+    full = np.concatenate(outs)
+
+    monkeypatch.setattr(orchestrator, "SubclipWriter", _CaptureWriter)
+    captured = {}
+
+    class Grab(_CaptureWriter):
+        def __init__(self, *a, **k):
+            super().__init__()
+            self.clips = captured
+
+    monkeypatch.setattr(orchestrator, "SubclipWriter", Grab)
+    # repair begins at 5 (odd) and 9 (odd): both off the stride-2 grid
+    n = orchestrator.convert_range(cfg, 5, 9, pipeline=pipeline)
+    assert n == 4
+    np.testing.assert_array_equal(captured[5], full[5:9])
+
+    captured.clear()
+    cfg2 = dataclasses.replace(cfg, warmup_frames=8)
+    n = orchestrator.convert_range(cfg2, 9, 16, pipeline=pipeline)
+    assert n == 7
+    np.testing.assert_array_equal(captured[9], full[9:16])

@@ -62,12 +62,14 @@ def test_primed_states_globally_uniform_trip_count(tmp_path):
 
     pipe = StubPipe()
     _primed_states(pipe, [0], str(video), b=2, warmup=4,
-                   reader_backend="cv2", multi_host=True, any_preceding=True)
+                   reader_backend="cv2", multi_host=True, any_preceding=True,
+                   global_begins=[0, 4])
     assert pipe.calls == 2  # k = ceil(warmup/b), despite the local lo == 0
 
     pipe = StubPipe()  # and the skip is likewise global
     _primed_states(pipe, [0], str(video), b=2, warmup=4,
-                   reader_backend="cv2", multi_host=True, any_preceding=False)
+                   reader_backend="cv2", multi_host=True, any_preceding=False,
+                   global_begins=[0, 4])
     assert pipe.calls == 0
 
 
@@ -304,3 +306,57 @@ def test_sharded_runner_matches_single_device(tmp_path):
                 break
             # codecs are lossy; require near-identical reconstruction
             assert np.abs(fa.astype(int) - fb.astype(int)).mean() < 2.0
+
+
+def test_sharded_unaligned_start_keeps_absolute_anchor_grid(tmp_path,
+                                                            monkeypatch):
+    """depth_stride > 1 with a start off the stride grid: every slot
+    processes from its aligned frame and discards the re-decided leading
+    outputs, so the sharded output is bit-identical to one cold sequential
+    strided run over the whole video — anchor phase is absolute, not
+    slot-relative."""
+    import vr_video_generator_tpu.runtime.sharded_runner as sr
+
+    video = tmp_path / "in.mp4"
+    n_frames = 14
+    write_synthetic_video(video, n_frames, h=H, w=W)
+    model = DepthAnythingV2(TINY, dtype=jnp.float32)
+    params = random_params(model)
+    cfg = RunConfig(batch_size=2, input_size=56, compute_dtype="float32",
+                    depth_stride=2)
+
+    # oracle: cold sequential strided run from frame 0
+    single = SbsPipeline(model, params, H, W, run_cfg=cfg)
+    with VideoReader(str(video), begin=0) as r:
+        frames = np.stack(list(r.frames(0, n_frames)))
+    st = single.initial_state()
+    outs = []
+    for i in range(0, n_frames, 2):
+        sbs, st = single.step(frames[i:i + 2], st)
+        outs.append(np.asarray(sbs))
+    full = np.concatenate(outs)
+
+    captured = {}
+
+    class Grab:
+        def __init__(self, *a, **k):
+            pass
+
+        def write_clip(self, begin, chunk):
+            captured[begin] = np.stack(chunk)
+
+        def close(self):
+            pass
+
+    monkeypatch.setattr(sr, "SubclipWriter", Grab)
+    import jax
+    mesh = make_mesh((2, 1), devices=jax.devices()[:2])
+    pipe = ShardedSbsPipeline(model, params, H, W, mesh, run_cfg=cfg)
+    # [1, 13) -> slots [1,7) [7,13): begins 1 and 7, both off the grid;
+    # warmup 6 covers slot 1's whole aligned prefix [0, 6) pad-free
+    n = run_sharded(pipe, str(video), str(tmp_path / "sub") + os.sep,
+                    1, 13, max_frame_count=4, batch_size=2,
+                    writer_backend="cv2", warmup=6)
+    assert n == 12
+    got = np.concatenate([captured[k] for k in sorted(captured)])
+    np.testing.assert_array_equal(got, full[1:13])

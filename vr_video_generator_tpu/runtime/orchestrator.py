@@ -60,29 +60,38 @@ def convert_range(cfg: RunConfig, begin: int, end: int,
     log = log or WorkerLog(os.path.join(cfg.debug_dir, f"segment_{begin}.txt"))
     profile_csv = os.path.join(cfg.debug_dir, f"segment_{begin}_profile.csv")
     try:
+        # Depth-stride anchor grid is absolute (video frame indices):
+        # process from the aligned proc_begin and discard the re-decided
+        # leading outputs, so repair ranges / arbitrary start_frames render
+        # bit-identically to the original full run (see run_sharded, which
+        # does the same per slot). At stride 1 this is all identity.
+        s = cfg.depth_stride
+        proc_begin = (begin // s) * s
+        warmup = -(-cfg.warmup_frames // s) * s  # window on the grid too
         init_state = None
-        if cfg.warmup_frames > 0 and begin > 0:
+        if warmup > 0 and proc_begin > 0:
             # halo warm-up: prime the temporal state on the preceding frames
             # so this segment (or repair range) continues the full-video
             # sequence (no reference-style reset discontinuity)
             import numpy as np
 
-            wu_begin = max(0, begin - cfg.warmup_frames)
+            wu_begin = max(0, proc_begin - warmup)
             with VideoReader(cfg.video_dir, begin=wu_begin,
                              backend=cfg.reader_backend) as wr:
-                warm = np.stack(list(wr.frames(wu_begin, begin)))
+                warm = np.stack(list(wr.frames(wu_begin, proc_begin)))
             # min_batches pins the pad count at begin < warmup so the primed
             # state matches a sharded-slot warm-up exactly (see primed_state)
             init_state = pipeline.primed_state(
                 warm, cfg.batch_size,
-                min_batches=-(-cfg.warmup_frames // cfg.batch_size))
-        with VideoReader(cfg.video_dir, begin=begin,
+                min_batches=-(-warmup // cfg.batch_size))
+        with VideoReader(cfg.video_dir, begin=proc_begin,
                          backend=cfg.reader_backend) as reader:
             return process_segment(pipeline, reader, writer, begin, end,
                                    max_frame_count=cfg.max_frame_count,
                                    batch_size=cfg.batch_size, log=log,
                                    profile_csv=profile_csv,
-                                   initial_state=init_state)
+                                   initial_state=init_state,
+                                   discard_first=begin - proc_begin)
     except Exception as e:  # error funnel parity (reference :259-272)
         log.error(f"Segment {begin} failed", e,
                   error_path=os.path.join(cfg.debug_dir, "ERROR.txt"))

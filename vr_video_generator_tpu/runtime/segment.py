@@ -60,19 +60,29 @@ def process_segment(pipeline: SbsPipeline, reader: VideoReader,
                     report_every: int = 1,
                     timer: Optional["StageTimer"] = None,
                     profile_csv: Optional[str] = None,
-                    initial_state=None) -> int:
-    """Convert frames [begin, end); returns the number of frames written."""
+                    initial_state=None, discard_first: int = 0) -> int:
+    """Convert frames [begin, end); returns the number of frames written.
+
+    ``discard_first``: decode and process ``discard_first`` extra frames
+    BEFORE ``begin`` (the caller must open ``reader`` at
+    begin - discard_first) and drop their outputs — used by the
+    orchestrator to keep depth-stride anchor groups on the absolute video
+    frame grid when ``begin`` is not a stride multiple (repair ranges),
+    so regenerated frames are bit-identical to the original run's.
+    """
     from vr_video_generator_tpu.utils.profiling import StageTimer
 
     timer = timer or StageTimer()
     log = log or WorkerLog(None)
-    total = end - begin
+    stream_base = begin - discard_first  # first decoded frame
+    total = end - stream_base
     meter = ProgressMeter(total, log)
     log.write(f"Worker begin from {begin} to {end}")
 
     batches: "queue.Queue" = queue.Queue(maxsize=2)
     decoder = threading.Thread(target=_decode_batches,
-                               args=(reader, begin, end, batch_size, batches),
+                               args=(reader, stream_base, end, batch_size,
+                                     batches),
                                daemon=True)
     decoder.start()
 
@@ -95,6 +105,7 @@ def process_segment(pipeline: SbsPipeline, reader: VideoReader,
     audit_every = pipeline.run_cfg.stride_audit_every
     audit_on = audit_every > 0 and pipeline.run_cfg.depth_stride > 1
     batch_idx = 0
+    discard_left = discard_first
 
     while True:
         with timer.stage("decode_wait"):
@@ -113,8 +124,8 @@ def process_segment(pipeline: SbsPipeline, reader: VideoReader,
         if audit_on and n_real == batch_size and batch_idx % audit_every == 0:
             with timer.stage("stride_audit"):
                 rms, mx = pipeline.stride_audit(batch, state)
-            log.write(stride_audit_line(begin + frames_done,
-                                        begin + frames_done + n_real,
+            log.write(stride_audit_line(stream_base + frames_done,
+                                        stream_base + frames_done + n_real,
                                         rms, mx,
                                         pipeline.spec.cfg.limit_step_cap))
         batch_idx += 1
@@ -124,7 +135,12 @@ def process_segment(pipeline: SbsPipeline, reader: VideoReader,
             sbs_np, n_prev = prev_sbs
             with timer.stage("device_readback"):
                 host = np.asarray(sbs_np)
-            pending.extend(host[:n_prev])
+            take = host[:n_prev]
+            if discard_left:  # anchor-grid alignment: drop re-decided frames
+                drop = min(discard_left, len(take))
+                discard_left -= drop
+                take = take[drop:]
+            pending.extend(take)
             with timer.stage("encode"):
                 flush(force=False)
         prev_sbs = (sbs_dev, n_real)
@@ -136,7 +152,12 @@ def process_segment(pipeline: SbsPipeline, reader: VideoReader,
         sbs_np, n_prev = prev_sbs
         with timer.stage("device_readback"):
             host = np.asarray(sbs_np)
-        pending.extend(host[:n_prev])
+        take = host[:n_prev]
+        if discard_left:
+            drop = min(discard_left, len(take))
+            discard_left -= drop
+            take = take[drop:]
+        pending.extend(take)
     with timer.stage("encode"):
         flush(force=True)
         writer.wait()
@@ -150,4 +171,4 @@ def process_segment(pipeline: SbsPipeline, reader: VideoReader,
     if profile_csv:
         timer.dump_csv(profile_csv)
     log.write("Worker ending")
-    return frames_done
+    return max(0, frames_done - discard_first)

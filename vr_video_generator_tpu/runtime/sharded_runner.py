@@ -35,15 +35,25 @@ class _Segment:
     reader: VideoReader
     pending: List[np.ndarray]
     clip_begin: int
+    discard: int = 0  # leading outputs to drop (anchor-grid alignment)
 
     def done(self) -> bool:
         return self.cursor >= self.end
 
 
-def partition_segments(start: int, end: int, n: int) -> List[tuple]:
+def partition_segments(start: int, end: int, n: int,
+                       stride: int = 1) -> List[tuple]:
     """Contiguous [begin, end) slices, reference step policy
-    (PredictAndGenerate.py:274-275): step = ceil(range / n)."""
+    (PredictAndGenerate.py:274-275): step = ceil(range / n).
+
+    ``stride`` > 1 rounds the step up to a stride multiple so interior
+    segment begins stay on the absolute anchor grid (depth-stride groups
+    align to video frame indices, not segment-relative positions — see
+    run_sharded); unaligned begins still work via per-slot discard, this
+    just avoids re-deciding the same frames."""
     step = max(1, math.ceil((end - start) / n))
+    if stride > 1:
+        step = -(-step // stride) * stride
     out = []
     for lo in range(start, end, step):
         out.append((lo, min(lo + step, end)))
@@ -55,8 +65,7 @@ def partition_segments(start: int, end: int, n: int) -> List[tuple]:
 def _primed_states(pipeline: ShardedSbsPipeline, slot_begins: List[int],
                    video_path: str, b: int, warmup: int,
                    reader_backend: str, multi_host: bool,
-                   any_preceding: bool,
-                   global_begins: Optional[List[int]] = None):
+                   any_preceding: bool, global_begins: List[int]):
     """Per-slot halo warm-up: prime each data slot's temporal state on the
     frames preceding its segment (the reference resets per worker,
     PredictAndGenerate.py:131-145 — a smoothing discontinuity this removes).
@@ -73,11 +82,12 @@ def _primed_states(pipeline: ShardedSbsPipeline, slot_begins: List[int],
     construction for every stride.
 
     ``any_preceding`` / ``global_begins`` must be computed from ALL slots'
-    begins, not just this process's owned slots: the warm-up steps (and the
-    reset's select) launch the global SPMD program, so every process must
-    make the identical decision (a per-process early return would leave the
-    hosts whose slots start at 0 out of the collectives and deadlock the
-    rest).
+    begins, not just this process's owned slots (both are required for that
+    reason — an owned-only default would be the exact non-uniform decision
+    this paragraph forbids): the warm-up steps (and the reset's select)
+    launch the global SPMD program, so every process must make the
+    identical decision (a per-process early return would leave the hosts
+    whose slots start at 0 out of the collectives and deadlock the rest).
     """
     states = pipeline.initial_state()
     if warmup <= 0 or not any_preceding:
@@ -120,7 +130,7 @@ def _primed_states(pipeline: ShardedSbsPipeline, slot_begins: List[int],
             _, states = pipeline.step_local(local, states)
         else:
             _, states = pipeline.step(local, states)
-    begins = slot_begins if global_begins is None else global_begins
+    begins = global_begins
     if any(lo == 0 for lo in begins):
         # Cold-start reset for slots with no preceding frames (see docstring).
         # Globally uniform: every process computes the same mask and runs the
@@ -154,36 +164,50 @@ def run_sharded(pipeline: ShardedSbsPipeline, video_path: str,
     count, but decodes/encodes only the ``data`` slots whose devices it owns
     (parallel/multihost.py) and feeds them via ``step_local`` — frames never
     cross hosts. Single-host this reduces to all slots local.
+
+    The depth-stride anchor grid is ABSOLUTE (video frame indices): with
+    depth_stride s > 1 each slot starts processing at the aligned
+    proc = floor(begin/s)*s and discards the first begin - proc outputs, so
+    frame g is an anchor iff g % s == s-1 no matter how the video is
+    partitioned — sharded output equals the single-chip and sequential
+    outputs frame-for-frame. A segment-relative grid would give repair
+    ranges and mesh slots a different anchor phase than the surrounding
+    frames (visible depth seams at stride > 1).
     """
     log = log or WorkerLog(None)
     n_data = pipeline.n_data
     b = batch_size
-    bounds = partition_segments(start, end, n_data)
+    s = pipeline.depth_stride
+    bounds = partition_segments(start, end, n_data, stride=s)
     owned = pipeline.local_slots
     multi_host = len(owned) < n_data
+    # warm-up window on the anchor grid too (multiple of s): the window's
+    # front pads (k*b - n_real, with b % s == 0) then never shift phase
+    warmup = -(-warmup // s) * s
+    proc = [(lo // s) * s for lo, _ in bounds]  # aligned processing starts
 
     segs: List[Optional[_Segment]] = [None] * n_data
     fps = None
     for i in owned:
         lo, hi = bounds[i]
-        reader = VideoReader(video_path, begin=lo, backend=reader_backend)
+        reader = VideoReader(video_path, begin=proc[i], backend=reader_backend)
         fps = fps or reader.fps
-        segs[i] = _Segment(begin=lo, end=hi, cursor=lo, reader=reader,
-                           pending=[], clip_begin=lo)
+        segs[i] = _Segment(begin=lo, end=hi, cursor=proc[i], reader=reader,
+                           pending=[], clip_begin=lo, discard=lo - proc[i])
     writer = SubclipWriter(subclip_dir, fps, 2 * pipeline.width,
                            pipeline.height, backend=writer_backend)
 
     total = max(sum(hi - lo for lo, hi in (bounds[i] for i in owned)), 1)
     meter = ProgressMeter(total, log)
-    states = _primed_states(pipeline, [bounds[i][0] for i in owned],
+    states = _primed_states(pipeline, [proc[i] for i in owned],
                             video_path, b, warmup, reader_backend,
                             multi_host,
-                            any_preceding=any(lo > 0 for lo, _ in bounds),
-                            global_begins=[lo for lo, _ in bounds])
+                            any_preceding=any(p > 0 for p in proc),
+                            global_begins=proc)
     frames_done = 0
     h, w = pipeline.height, pipeline.width
     # Same trip count on every process: the longest segment anywhere decides.
-    n_steps = max(-(-(hi - lo) // b) for lo, hi in bounds)
+    n_steps = max(-(-(hi - p) // b) for p, (_, hi) in zip(proc, bounds))
 
     def flush(seg: _Segment, force: bool) -> None:
         while (len(seg.pending) >= max_frame_count
@@ -239,9 +263,14 @@ def run_sharded(pipeline: ShardedSbsPipeline, video_path: str,
         for slot_i, i in enumerate(owned):
             seg = segs[i]
             if counts[slot_i]:
-                seg.pending.extend(sbs_np[slot_i, :counts[slot_i]])
+                take = sbs_np[slot_i, :counts[slot_i]]
+                if seg.discard:  # anchor-grid alignment: drop re-decided
+                    drop = min(seg.discard, len(take))  # leading outputs
+                    seg.discard -= drop
+                    take = take[drop:]
+                seg.pending.extend(take)
                 seg.cursor += counts[slot_i]
-                frames_done += counts[slot_i]
+                frames_done += len(take)
                 flush(seg, force=seg.done())
         meter.report(max(frames_done, 1))
 
