@@ -115,12 +115,10 @@ def test_repair_range_keeps_absolute_anchor_grid(tmp_path, monkeypatch):
         outs.append(np.asarray(sbs))
     full = np.concatenate(outs)
 
-    monkeypatch.setattr(orchestrator, "SubclipWriter", _CaptureWriter)
     captured = {}
 
     class Grab(_CaptureWriter):
         def __init__(self, *a, **k):
-            super().__init__()
             self.clips = captured
 
     monkeypatch.setattr(orchestrator, "SubclipWriter", Grab)

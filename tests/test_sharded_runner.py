@@ -360,3 +360,43 @@ def test_sharded_unaligned_start_keeps_absolute_anchor_grid(tmp_path,
     assert n == 12
     got = np.concatenate([captured[k] for k in sorted(captured)])
     np.testing.assert_array_equal(got, full[1:13])
+
+
+def test_process_segment_discard_windows(tmp_path):
+    """discard_first/discard_last: decode [begin-df, end+dl), write exactly
+    [begin, end) — the trimmed outputs equal the same positions of a cold
+    run over the full decode window (independent of plane quantization)."""
+    model = DepthAnythingV2(TINY, dtype=jnp.float32)
+    params = random_params(model)
+    cfg = RunConfig(batch_size=2, input_size=56, compute_dtype="float32",
+                    depth_stride=2)
+    pipe = SbsPipeline(model, params, H, W, run_cfg=cfg)
+    video = tmp_path / "in.mp4"
+    write_synthetic_video(video, 12, h=H, w=W)
+
+    with VideoReader(str(video), begin=0) as r:
+        frames = np.stack(list(r.frames(0, 12)))
+    # oracle: cold run over the decode window [4, 10)
+    st = pipe.initial_state()
+    outs = []
+    for i in range(4, 10, 2):
+        sbs, st = pipe.step(frames[i:i + 2], st)
+        outs.append(np.asarray(sbs))
+    oracle = np.concatenate(outs)  # frames 4..9
+
+    clips = {}
+
+    class Grab:
+        def write_clip(self, begin, chunk):
+            clips[begin] = np.stack(chunk)
+
+        def wait(self):
+            pass
+
+    from vr_video_generator_tpu.runtime.segment import process_segment
+    with VideoReader(str(video), begin=4) as reader:
+        n = process_segment(pipe, reader, Grab(), 5, 9, max_frame_count=16,
+                            batch_size=2, discard_first=1, discard_last=1)
+    assert n == 4
+    assert list(clips) == [5]
+    np.testing.assert_array_equal(clips[5], oracle[1:5])  # frames 5..8

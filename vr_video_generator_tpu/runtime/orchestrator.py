@@ -61,12 +61,14 @@ def convert_range(cfg: RunConfig, begin: int, end: int,
     profile_csv = os.path.join(cfg.debug_dir, f"segment_{begin}_profile.csv")
     try:
         # Depth-stride anchor grid is absolute (video frame indices):
-        # process from the aligned proc_begin and discard the re-decided
-        # leading outputs, so repair ranges / arbitrary start_frames render
+        # process from the aligned proc_begin (and, when the video has the
+        # frames, through the aligned proc_end) discarding the re-decided
+        # edge outputs, so repair ranges / arbitrary start_frames render
         # bit-identically to the original full run (see run_sharded, which
         # does the same per slot). At stride 1 this is all identity.
         s = cfg.depth_stride
         proc_begin = (begin // s) * s
+        proc_end = min(-(-end // s) * s, video_length)
         warmup = -(-cfg.warmup_frames // s) * s  # window on the grid too
         init_state = None
         if warmup > 0 and proc_begin > 0:
@@ -91,7 +93,8 @@ def convert_range(cfg: RunConfig, begin: int, end: int,
                                    batch_size=cfg.batch_size, log=log,
                                    profile_csv=profile_csv,
                                    initial_state=init_state,
-                                   discard_first=begin - proc_begin)
+                                   discard_first=begin - proc_begin,
+                                   discard_last=proc_end - end)
     except Exception as e:  # error funnel parity (reference :259-272)
         log.error(f"Segment {begin} failed", e,
                   error_path=os.path.join(cfg.debug_dir, "ERROR.txt"))

@@ -53,6 +53,32 @@ def _decode_batches(reader: VideoReader, begin: int, end: int,
         out_q.put(None)
 
 
+class EmitWindow:
+    """Trims a processed output stream to the written range: drops the
+    ``discard`` leading frames and caps emission at ``budget`` frames.
+
+    The depth-stride runtimes decode extra frames on BOTH sides of a
+    segment so anchor groups stay on the absolute video frame grid
+    (leading: down to floor(begin/s)*s; trailing: up to ceil(end/s)*s when
+    the video has the frames — otherwise the final group anchors on a pad
+    copy exactly like the sequential run at video end); the extra outputs
+    are processed for their effect on the temporal state only.
+    """
+
+    def __init__(self, discard: int, budget: int):
+        self.discard, self.budget = discard, budget
+
+    def take(self, frames):
+        if self.discard:
+            drop = min(self.discard, len(frames))
+            self.discard -= drop
+            frames = frames[drop:]
+        if len(frames) > self.budget:
+            frames = frames[:self.budget]
+        self.budget -= len(frames)
+        return frames
+
+
 def process_segment(pipeline: SbsPipeline, reader: VideoReader,
                     writer: SubclipWriter, begin: int, end: int,
                     max_frame_count: int, batch_size: int = 8,
@@ -60,29 +86,32 @@ def process_segment(pipeline: SbsPipeline, reader: VideoReader,
                     report_every: int = 1,
                     timer: Optional["StageTimer"] = None,
                     profile_csv: Optional[str] = None,
-                    initial_state=None, discard_first: int = 0) -> int:
+                    initial_state=None, discard_first: int = 0,
+                    discard_last: int = 0) -> int:
     """Convert frames [begin, end); returns the number of frames written.
 
-    ``discard_first``: decode and process ``discard_first`` extra frames
-    BEFORE ``begin`` (the caller must open ``reader`` at
-    begin - discard_first) and drop their outputs — used by the
-    orchestrator to keep depth-stride anchor groups on the absolute video
-    frame grid when ``begin`` is not a stride multiple (repair ranges),
-    so regenerated frames are bit-identical to the original run's.
+    ``discard_first`` / ``discard_last``: decode and process that many
+    extra frames before ``begin`` / after ``end`` (the caller must open
+    ``reader`` at begin - discard_first, and end + discard_last must not
+    exceed the video) and drop their outputs — used by the orchestrator to
+    keep depth-stride anchor groups on the absolute video frame grid when
+    the range is not stride-aligned (repair ranges), so regenerated frames
+    are bit-identical to the original run's on both edges.
     """
     from vr_video_generator_tpu.utils.profiling import StageTimer
 
     timer = timer or StageTimer()
     log = log or WorkerLog(None)
     stream_base = begin - discard_first  # first decoded frame
-    total = end - stream_base
+    decode_end = end + discard_last
+    total = decode_end - stream_base
     meter = ProgressMeter(total, log)
     log.write(f"Worker begin from {begin} to {end}")
 
     batches: "queue.Queue" = queue.Queue(maxsize=2)
     decoder = threading.Thread(target=_decode_batches,
-                               args=(reader, stream_base, end, batch_size,
-                                     batches),
+                               args=(reader, stream_base, decode_end,
+                                     batch_size, batches),
                                daemon=True)
     decoder.start()
 
@@ -105,7 +134,7 @@ def process_segment(pipeline: SbsPipeline, reader: VideoReader,
     audit_every = pipeline.run_cfg.stride_audit_every
     audit_on = audit_every > 0 and pipeline.run_cfg.depth_stride > 1
     batch_idx = 0
-    discard_left = discard_first
+    window = EmitWindow(discard_first, end - begin)
 
     while True:
         with timer.stage("decode_wait"):
@@ -135,12 +164,7 @@ def process_segment(pipeline: SbsPipeline, reader: VideoReader,
             sbs_np, n_prev = prev_sbs
             with timer.stage("device_readback"):
                 host = np.asarray(sbs_np)
-            take = host[:n_prev]
-            if discard_left:  # anchor-grid alignment: drop re-decided frames
-                drop = min(discard_left, len(take))
-                discard_left -= drop
-                take = take[drop:]
-            pending.extend(take)
+            pending.extend(window.take(host[:n_prev]))
             with timer.stage("encode"):
                 flush(force=False)
         prev_sbs = (sbs_dev, n_real)
@@ -152,12 +176,7 @@ def process_segment(pipeline: SbsPipeline, reader: VideoReader,
         sbs_np, n_prev = prev_sbs
         with timer.stage("device_readback"):
             host = np.asarray(sbs_np)
-        take = host[:n_prev]
-        if discard_left:
-            drop = min(discard_left, len(take))
-            discard_left -= drop
-            take = take[drop:]
-        pending.extend(take)
+        pending.extend(window.take(host[:n_prev]))
     with timer.stage("encode"):
         flush(force=True)
         writer.wait()
@@ -171,4 +190,4 @@ def process_segment(pipeline: SbsPipeline, reader: VideoReader,
     if profile_csv:
         timer.dump_csv(profile_csv)
     log.write("Worker ending")
-    return max(0, frames_done - discard_first)
+    return (end - begin) - window.budget  # frames actually written

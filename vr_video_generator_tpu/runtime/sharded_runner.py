@@ -21,24 +21,26 @@ import jax.numpy as jnp
 import numpy as np
 
 from vr_video_generator_tpu.parallel.sharded import ShardedSbsPipeline
+from vr_video_generator_tpu.runtime.segment import EmitWindow
 from vr_video_generator_tpu.utils.logging import (ProgressMeter, WorkerLog,
                                                   stride_audit_line)
-from vr_video_generator_tpu.video.reader import VideoReader
+from vr_video_generator_tpu.video.reader import VideoReader, probe_video
 from vr_video_generator_tpu.video.writer import SubclipWriter
 
 
 @dataclass
 class _Segment:
     begin: int
-    end: int
+    end: int            # last written frame (exclusive)
+    decode_end: int     # last decoded frame (exclusive; anchor-grid aligned)
     cursor: int
     reader: VideoReader
     pending: List[np.ndarray]
     clip_begin: int
-    discard: int = 0  # leading outputs to drop (anchor-grid alignment)
+    window: "EmitWindow"  # trims decoded outputs to [begin, end)
 
     def done(self) -> bool:
-        return self.cursor >= self.end
+        return self.cursor >= self.decode_end
 
 
 def partition_segments(start: int, end: int, n: int,
@@ -184,7 +186,13 @@ def run_sharded(pipeline: ShardedSbsPipeline, video_path: str,
     # warm-up window on the anchor grid too (multiple of s): the window's
     # front pads (k*b - n_real, with b % s == 0) then never shift phase
     warmup = -(-warmup // s) * s
-    proc = [(lo // s) * s for lo, _ in bounds]  # aligned processing starts
+    video_length = probe_video(video_path)[1]
+    # Aligned decode windows per slot; empty slots decode nothing (their
+    # frames belong to a real slot — re-deciding them would double-count
+    # the overflow diagnostic).
+    proc = [(lo // s) * s if lo < hi else lo for lo, hi in bounds]
+    dec_end = [min(-(-hi // s) * s, video_length) if lo < hi else lo
+               for lo, hi in bounds]
 
     segs: List[Optional[_Segment]] = [None] * n_data
     fps = None
@@ -192,8 +200,10 @@ def run_sharded(pipeline: ShardedSbsPipeline, video_path: str,
         lo, hi = bounds[i]
         reader = VideoReader(video_path, begin=proc[i], backend=reader_backend)
         fps = fps or reader.fps
-        segs[i] = _Segment(begin=lo, end=hi, cursor=proc[i], reader=reader,
-                           pending=[], clip_begin=lo, discard=lo - proc[i])
+        segs[i] = _Segment(begin=lo, end=hi, decode_end=dec_end[i],
+                           cursor=proc[i], reader=reader, pending=[],
+                           clip_begin=lo,
+                           window=EmitWindow(lo - proc[i], hi - lo))
     writer = SubclipWriter(subclip_dir, fps, 2 * pipeline.width,
                            pipeline.height, backend=writer_backend)
 
@@ -207,7 +217,7 @@ def run_sharded(pipeline: ShardedSbsPipeline, video_path: str,
     frames_done = 0
     h, w = pipeline.height, pipeline.width
     # Same trip count on every process: the longest segment anywhere decides.
-    n_steps = max(-(-(hi - p) // b) for p, (_, hi) in zip(proc, bounds))
+    n_steps = max(-(-(e - p) // b) for p, e in zip(proc, dec_end))
 
     def flush(seg: _Segment, force: bool) -> None:
         while (len(seg.pending) >= max_frame_count
@@ -225,7 +235,7 @@ def run_sharded(pipeline: ShardedSbsPipeline, video_path: str,
         counts = []
         for slot_i, i in enumerate(owned):
             seg = segs[i]
-            n_want = min(b, seg.end - seg.cursor)
+            n_want = min(b, seg.decode_end - seg.cursor)
             for j, frame in enumerate(seg.reader.frames(seg.cursor,
                                                         seg.cursor + n_want)):
                 batch[slot_i, j] = frame
@@ -263,11 +273,7 @@ def run_sharded(pipeline: ShardedSbsPipeline, video_path: str,
         for slot_i, i in enumerate(owned):
             seg = segs[i]
             if counts[slot_i]:
-                take = sbs_np[slot_i, :counts[slot_i]]
-                if seg.discard:  # anchor-grid alignment: drop re-decided
-                    drop = min(seg.discard, len(take))  # leading outputs
-                    seg.discard -= drop
-                    take = take[drop:]
+                take = seg.window.take(sbs_np[slot_i, :counts[slot_i]])
                 seg.pending.extend(take)
                 seg.cursor += counts[slot_i]
                 frames_done += len(take)

@@ -167,14 +167,18 @@ def integrity_report(subclip_dir: str, video_dir: str = "") -> str:
     if not os.path.isdir(subclip_dir):
         return f"no subclip directory at {subclip_dir}"
     try:
-        return _integrity_report_body(subclip_dir, video_dir,
-                                      check_subclips, parse_clip_name,
-                                      sorted_subclips)
+        # validate the names up front: stray files (e.g. 'backup4',
+        # 'clip_v4.mp4') break the numeric sort, and a report action must
+        # not crash the UI over them. Narrow scope on purpose — a
+        # ValueError out of the probing below is a different problem and
+        # must not be misreported as a naming one.
+        for name in sorted_subclips(subclip_dir):
+            parse_clip_name(name)
     except ValueError as exc:
-        # stray files (e.g. 'backup4', 'clip_v4.mp4') break the numeric name
-        # sort; a report action must not crash the UI over them
         return (f"cannot parse subclip names in {subclip_dir}: {exc} — "
                 "expected '{begin}_{end_inclusive}.mp4'")
+    return _integrity_report_body(subclip_dir, video_dir, check_subclips,
+                                  parse_clip_name, sorted_subclips)
 
 
 def _integrity_report_body(subclip_dir, video_dir, check_subclips,
