@@ -1,0 +1,71 @@
+"""Backend-init watchdog behavior (utils/devwatch.py)."""
+
+import threading
+import time
+
+from vr_video_generator_tpu.utils import devwatch
+
+
+def _fresh():
+    devwatch._started = False
+
+
+def test_fast_probe_no_warning():
+    _fresh()
+    warned = []
+    done = devwatch.watch_backend_init(
+        threshold_s=0.5, probe=lambda: None, warn=warned.append, once=False)
+    assert done.wait(5.0)
+    time.sleep(0.7)  # past the threshold: watcher must have stayed quiet
+    assert warned == []
+
+
+def test_stalled_probe_warns_once_at_threshold():
+    _fresh()
+    warned = []
+    release = threading.Event()
+    done = devwatch.watch_backend_init(
+        threshold_s=0.2, probe=release.wait, warn=warned.append, once=False)
+    t0 = time.monotonic()
+    deadline = t0 + 10.0
+    while not warned and time.monotonic() < deadline:
+        time.sleep(0.02)
+    assert warned == [0.2]
+    assert time.monotonic() - t0 >= 0.2
+    assert not done.is_set()
+    release.set()
+    assert done.wait(5.0)
+
+
+def test_probe_exception_still_sets_done():
+    _fresh()
+    warned = []
+
+    def boom():
+        raise RuntimeError("init failed fast")
+
+    done = devwatch.watch_backend_init(
+        threshold_s=0.2, probe=boom, warn=warned.append, once=False)
+    assert done.wait(5.0)  # fast failure is a diagnosed failure, not a stall
+    time.sleep(0.3)
+    assert warned == []
+
+
+def test_once_collapses_repeat_calls():
+    _fresh()
+    calls = []
+    first = devwatch.watch_backend_init(
+        threshold_s=0.1, probe=lambda: calls.append(1), warn=lambda s: None)
+    assert first.wait(5.0)
+    second = devwatch.watch_backend_init(
+        threshold_s=0.1, probe=lambda: calls.append(2), warn=lambda s: None)
+    assert second.is_set()  # pre-set event, no second probe thread
+    time.sleep(0.2)
+    assert calls == [1]
+
+
+def test_real_probe_initializes_cpu_backend():
+    _fresh()
+    # conftest pinned jax to CPU, so the default probe completes quickly.
+    done = devwatch.watch_backend_init(threshold_s=30.0, once=False)
+    assert done.wait(30.0)

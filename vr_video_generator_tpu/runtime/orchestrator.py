@@ -139,6 +139,12 @@ def _convert_range_sharded(cfg: RunConfig, begin: int, end: int,
 
 def run(cfg: RunConfig, allow_random: bool = False) -> None:
     """Full run with repair_mode dispatch (reference :400-419)."""
+    from vr_video_generator_tpu.utils.devwatch import watch_backend_init
+
+    # Kick backend init now (concurrent with dir/video setup) and get a
+    # stderr diagnosis if it stalls — a down TPU relay otherwise hangs the
+    # run forever with no output.
+    watch_backend_init()
     create_folder_if_not_exist(cfg.debug_dir)
     create_folder_if_not_exist(cfg.subclip_dir)
     if cfg.repair_mode != 1:

@@ -1,0 +1,87 @@
+"""Backend-init watchdog: diagnose a hung accelerator bring-up.
+
+In this deployment the TPU backend is reached through a relay; when the
+relay is down, the first backend touch (``jax.devices()`` or the first jit)
+blocks forever with no output — observed for hours during the 2026-08-17
+outage. The reference has no analog (CUDA init fails fast); a remote-attached
+TPU needs one. ``watch_backend_init`` starts backend initialization on a
+daemon thread and prints a diagnosis if it hasn't completed within the
+threshold, so an operator staring at a silent process learns *why* within
+minutes instead of never.
+
+Safe to call unconditionally: backend init is idempotent and lock-guarded in
+JAX, so the probe thread either completes instantly (already initialized),
+warms the backend concurrently with video/file setup, or blocks — exactly
+the case the watchdog exists to report.
+"""
+
+from __future__ import annotations
+
+import sys
+import threading
+from typing import Callable, Optional
+
+_started = False
+_lock = threading.Lock()
+
+
+def _default_probe() -> None:
+    import jax
+
+    jax.devices()
+
+
+def _default_warn(threshold_s: float) -> None:
+    print(
+        f"[devwatch] JAX backend init still pending after {threshold_s:.0f}s. "
+        "A remote TPU relay that is down blocks forever here; if this is a "
+        "TPU run, check the relay/plugin. To run on CPU instead, set "
+        "JAX_PLATFORMS=cpu. First TPU compiles are slow but device "
+        "*enumeration* should take seconds.",
+        file=sys.stderr,
+        flush=True,
+    )
+
+
+def watch_backend_init(
+    threshold_s: float = 180.0,
+    *,
+    probe: Optional[Callable[[], None]] = None,
+    warn: Optional[Callable[[float], None]] = None,
+    once: bool = True,
+) -> threading.Event:
+    """Begin backend init on a daemon thread; warn if it stalls.
+
+    Returns an Event set when the backend finished initializing (or the
+    probe raised — a fast failure is a *diagnosed* failure, not a stall).
+    ``once`` collapses repeat calls in one process to a no-op returning a
+    pre-set event, so library code can call this freely.
+    """
+    global _started
+    if once:
+        with _lock:
+            if _started:
+                ev = threading.Event()
+                ev.set()
+                return ev
+            _started = True
+
+    done = threading.Event()
+    probe_fn = probe or _default_probe
+    warn_fn = warn or _default_warn
+
+    def _probe_thread() -> None:
+        try:
+            probe_fn()
+        finally:
+            done.set()
+
+    def _watch_thread() -> None:
+        if not done.wait(threshold_s):
+            warn_fn(threshold_s)
+
+    threading.Thread(target=_probe_thread, daemon=True,
+                     name="devwatch-probe").start()
+    threading.Thread(target=_watch_thread, daemon=True,
+                     name="devwatch-watch").start()
+    return done
