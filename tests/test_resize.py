@@ -152,3 +152,39 @@ def test_banded_plan_gate_and_exactness(rng):
     assert banded.shape == (2, 1080, 31)
     np.testing.assert_allclose(np.asarray(banded), np.asarray(dense),
                                rtol=0, atol=1e-5)
+
+
+def test_banded_resize_under_sharded_batch(rng):
+    """The banded-blocked apply partitions cleanly when the batch axis is
+    sharded over the mesh (how every pipeline resize runs under shard_map's
+    data axis): sharded output == single-device output up to reduction-order
+    noise (XLA vectorizes the einsum differently at the per-shard batch
+    extent; measured ~7e-7 on values of magnitude ~5). Shape chosen
+    so _banded_plan actually engages on the H axis (518 -> 1080 has multiple
+    128-row blocks with small spans; tiny test geometries stay dense)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from vr_video_generator_tpu.ops.resize import (_banded_plan,
+                                                   cubic_weights,
+                                                   resize_bicubic)
+
+    assert _banded_plan(cubic_weights(518, 1080, align_corners=False)) \
+        is not None  # the path under test is actually engaged
+
+    x = jnp.asarray(rng.standard_normal((8, 518, 12, 1)), jnp.float32)
+    out_hw = (1080, 20)
+
+    single = jax.jit(lambda v: resize_bicubic(v, out_hw,
+                                              align_corners=False))(x)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    sharded = jax.jit(
+        lambda v: resize_bicubic(v, out_hw, align_corners=False),
+        in_shardings=NamedSharding(mesh, P("data")),
+        out_shardings=NamedSharding(mesh, P("data")))(xs)
+
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               rtol=0.0, atol=1e-5)
