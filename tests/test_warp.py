@@ -135,6 +135,9 @@ def test_temporal_state_carries_across_batches(rng):
     dict(offset_step_size=2),                       # BASELINE config 1
     dict(offset_fg=0.04, offset_bg=-0.02),          # wider disparity range
     dict(offset_fg=0.012, offset_bg=-0.004),        # narrow range
+    dict(offset_step_size=3),                       # odd coarse step
+    dict(offset_step_size=4, offset_fg=0.03),       # coarsest practical step
+    dict(offset_bg=0.0),                            # zero-background edge
 ])
 def test_warp_sequence_matches_oracle_configs(rng, kwargs):
     cfg = StereoConfig(**kwargs).normalized()
