@@ -52,6 +52,24 @@ def test_convert_range_and_repair(env):
     assert check_subclips(cfg.subclip_dir) == []
 
 
+def test_repair_heals_clip_truncated_by_worker_death(env):
+    """A worker killed mid-encode leaves a named-but-unreadable subclip
+    (cv2 reports 0 frames for it). The checker must flag it as a length
+    issue, remove it, and check_and_repair must regenerate the exact range
+    (reference Check_Clips.py:19-37 recovery contract)."""
+    cfg, pipeline = env
+    orchestrator.convert_range(cfg, 0, 12, pipeline=pipeline)
+
+    victim = os.path.join(cfg.subclip_dir, "4_7.mp4")
+    with open(victim, "wb") as f:
+        f.write(b"\x00\x01partial-write-then-SIGKILL")
+
+    issues = orchestrator.check_and_repair(cfg, repair=True, pipeline=pipeline)
+    assert [(i.kind, i.repair_range) for i in issues] == [("length", (4, 8))]
+    assert check_subclips(cfg.subclip_dir) == []
+    assert sorted_subclips(cfg.subclip_dir) == ["0_3.mp4", "4_7.mp4", "8_11.mp4"]
+
+
 def test_repair_mode_2_combines_existing(env, monkeypatch, tmp_path):
     cfg, pipeline = env
     monkeypatch.chdir(os.path.dirname(cfg.video_dir))

@@ -167,12 +167,15 @@ def run(cfg: RunConfig, allow_random: bool = False) -> None:
 
 
 def check_and_repair(cfg: RunConfig, repair: bool = True,
-                     allow_random: bool = False) -> list:
+                     allow_random: bool = False, pipeline=None) -> list:
     """Integrity-check subclips; optionally regenerate broken ranges
-    (library form of reference Check_Clips.py:15-37)."""
+    (library form of reference Check_Clips.py:15-37). A prebuilt
+    ``pipeline`` is reused across every repaired range — without it each
+    range re-loads and re-jits the model."""
     issues = check_subclips(cfg.subclip_dir, remove_bad=repair)
     if repair:
         for issue in issues:
             lo, hi = issue.repair_range
-            convert_range(cfg, lo, hi, allow_random=allow_random)
+            convert_range(cfg, lo, hi, allow_random=allow_random,
+                          pipeline=pipeline)
     return issues
