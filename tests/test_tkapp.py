@@ -125,3 +125,29 @@ def test_verify_report_survives_stray_files(tmp_path):
     report = m.verify_report()
     assert "cannot parse subclip names" in report
     assert "expected" in report
+
+
+def test_repair_command_targets_checktool_with_repair_on():
+    m = FormModel()
+    m.set_field("VideoDir", "/tmp/in.mp4")
+    m.set_field("repair_mode", "0")  # form value must NOT leak into repair
+    cmd = m.repair_command()
+    assert "vr_video_generator_tpu.checktool" in cmd
+    assert "vr_video_generator_tpu.cli" not in cmd
+    assert cmd[cmd.index("--repair_mode") + 1] == "1"
+    assert cmd[cmd.index("--VideoDir") + 1] == "/tmp/in.mp4"
+
+
+def test_repair_validates_and_spawns(monkeypatch):
+    m = FormModel()
+    m.set_field("batch_size", "nope")
+    try:
+        m.repair()
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+    m.set_field("batch_size", "8")
+    started = []
+    monkeypatch.setattr(m.proc, "start", started.append)
+    m.repair()
+    assert started and "vr_video_generator_tpu.checktool" in started[0]

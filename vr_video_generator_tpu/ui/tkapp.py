@@ -109,6 +109,25 @@ class FormModel:
             raise ValueError(problem)
         self.proc.start(build_command(_with_auto_output(self.fields)))
 
+    def repair_command(self) -> list:
+        """argv for the check-and-repair tool: the form's run config with
+        repair forced on, through vr_video_generator_tpu.checktool (the
+        reference GUI has no working equivalent)."""
+        fields = dict(_with_auto_output(self.fields))
+        fields["repair_mode"] = "1"
+        argv = build_command(fields)
+        argv[argv.index("vr_video_generator_tpu.cli")] = \
+            "vr_video_generator_tpu.checktool"
+        return argv
+
+    def repair(self) -> None:
+        """Remove broken subclips and regenerate their exact ranges, as a
+        managed subprocess (same Stop button as Run)."""
+        problem = self.validate()
+        if problem:
+            raise ValueError(problem)
+        self.proc.start(self.repair_command())
+
     def stop(self) -> None:
         self.proc.stop()
 
@@ -251,6 +270,17 @@ def run_app() -> int:  # pragma: no cover - needs a display
         refresh_preview()
         messagebox.showinfo("Verify Integrity", model.verify_report())
 
+    def do_repair() -> None:
+        refresh_preview()
+        problem = model.validate()
+        if problem:
+            messagebox.showerror("Invalid parameters", problem)
+            return
+        if model.running():
+            messagebox.showinfo("Running", "pipeline already running")
+            return
+        model.repair()
+
     btns = ttk.Frame(body)
     btns.grid(row=row, column=0, columnspan=3, pady=6)
     tk.Button(btns, text="Run Script", bg="#148C14", fg="white",
@@ -260,6 +290,8 @@ def run_app() -> int:  # pragma: no cover - needs a display
     ttk.Button(btns, text="View Debug Folder", command=do_debug).pack(
         side="left", padx=4)
     ttk.Button(btns, text="Verify Integrity", command=do_verify).pack(
+        side="left", padx=4)
+    ttk.Button(btns, text="Repair Subclips", command=do_repair).pack(
         side="left", padx=4)
 
     refresh_preview()
