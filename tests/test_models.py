@@ -95,3 +95,21 @@ def test_jit_and_batch(vits_pair):
     assert out.shape == (2, 70, 70)
     single = np.asarray(fn(params, jnp.asarray(x[:1])))
     assert np.abs(out[0] - single[0]).max() < 1e-4
+
+
+def test_pth_roundtrip_through_load_model(vits_pair, tmp_path):
+    """The .pth branch that runs unattended when real weights arrive:
+    torch.save(state_dict) -> factory.load_model(encoder_path=.pth) must
+    yield exactly the params convert_state_dict produces directly."""
+    from vr_video_generator_tpu.models.factory import load_model
+
+    tmodel, _, params_direct = vits_pair
+    path = tmp_path / "depth_anything_v2_vits.pth"
+    torch.save(tmodel.state_dict(), str(path))
+
+    model, params = load_model("vits", str(path), dtype=jnp.float32)
+    assert model.cfg.encoder == "vits"
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a, np.float32), np.asarray(b, np.float32)),
+        params, params_direct)
