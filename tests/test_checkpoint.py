@@ -34,3 +34,20 @@ def test_swiglu_vitg_style_forward():
     x = jnp.zeros((1, 70, 70, 3))
     out = model.apply({"params": params}, x)
     assert out.shape == (1, 70, 70)
+
+
+def test_load_model_orbax_dir_branch(tmp_path):
+    """factory.load_model with a directory path restores the Orbax
+    checkpoint (the production fast-startup path that skips torch)."""
+    from vr_video_generator_tpu.models.factory import load_model
+
+    model = DepthAnythingV2(ModelConfig.for_encoder("vits"), dtype=jnp.float32)
+    params = random_params(model)
+    path = str(tmp_path / "vits_orbax")
+    checkpoint.save(path, params)
+
+    _, restored = load_model("vits", path, dtype=jnp.float32)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        restored, params)
