@@ -70,6 +70,17 @@ def build_command(fields: Dict[str, str]) -> list:
     return cmd
 
 
+def repair_command(fields: Dict[str, str]) -> list:
+    """argv for check-and-repair: the form's run config with repair forced
+    on, through the vr_video_generator_tpu.checktool entry point."""
+    fields = dict(_with_auto_output(fields))
+    fields["repair_mode"] = "1"
+    argv = build_command(fields)
+    argv[argv.index("vr_video_generator_tpu.cli")] = \
+        "vr_video_generator_tpu.checktool"
+    return argv
+
+
 class PipelineProcess:
     """Run/Stop management of the conversion subprocess; Stop kills the whole
     process group (the reference kills the psutil child tree,
@@ -105,7 +116,7 @@ def run_app(input_fn=input, print_fn=print) -> None:  # pragma: no cover - inter
     fields = dict(DEFAULT_FIELDS)
     proc = PipelineProcess()
     print_fn("vr_video_generator_tpu console UI — commands: set <key> <value>, "
-             "pick <key>, show, run, stop, debug, verify, quit")
+             "pick <key>, show, run, stop, debug, verify, repair, quit")
     while True:
         try:
             line = input_fn("> ").strip()
@@ -149,8 +160,12 @@ def run_app(input_fn=input, print_fn=print) -> None:  # pragma: no cover - inter
         elif cmd == "verify":
             print_fn(integrity_report(fields["SubClipDir"],
                                       fields["VideoDir"]))
+        elif cmd == "repair":
+            proc.start(repair_command(fields))
+            print_fn("repair started (stop with 'stop')")
         else:
-            print_fn("commands: set/pick/show/run/stop/debug/verify/quit")
+            print_fn("commands: set/pick/show/run/stop/debug/verify/"
+                     "repair/quit")
 
 
 def integrity_report(subclip_dir: str, video_dir: str = "") -> str:

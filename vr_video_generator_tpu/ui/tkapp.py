@@ -23,7 +23,8 @@ from typing import Callable, Dict, Optional
 
 from vr_video_generator_tpu.ui.app import (DEFAULT_FIELDS, PipelineProcess,
                                            _with_auto_output, auto_output_name,
-                                           build_command, integrity_report)
+                                           build_command, integrity_report,
+                                           repair_command)
 
 # Combo labels mirror the reference's descriptive items
 # (reference UserInterface.py:232-233, :253-255).
@@ -110,15 +111,9 @@ class FormModel:
         self.proc.start(build_command(_with_auto_output(self.fields)))
 
     def repair_command(self) -> list:
-        """argv for the check-and-repair tool: the form's run config with
-        repair forced on, through vr_video_generator_tpu.checktool (the
+        """argv for the check-and-repair tool (ui.app.repair_command; the
         reference GUI has no working equivalent)."""
-        fields = dict(_with_auto_output(self.fields))
-        fields["repair_mode"] = "1"
-        argv = build_command(fields)
-        argv[argv.index("vr_video_generator_tpu.cli")] = \
-            "vr_video_generator_tpu.checktool"
-        return argv
+        return repair_command(self.fields)
 
     def repair(self) -> None:
         """Remove broken subclips and regenerate their exact ranges, as a
