@@ -158,8 +158,13 @@ def _run_sharded(model, params, h, w, b, cfg, mesh_shape, k_steps) -> dict:
 
 def main() -> None:
     from vr_video_generator_tpu.utils.cache import honor_platform_env
+    from vr_video_generator_tpu.utils.devwatch import watch_backend_init
 
     honor_platform_env()  # before any jax backend init (see run_config)
+    # A down TPU relay blocks the first backend touch forever with no
+    # output (multi-hour outage observed 2026-08-17); diagnose on stderr
+    # instead of hanging silently under the driver.
+    watch_backend_init()
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=int, default=2, choices=sorted(CONFIGS))
     parser.add_argument("--all", action="store_true",
