@@ -400,3 +400,62 @@ def test_process_segment_discard_windows(tmp_path):
     assert n == 4
     assert list(clips) == [5]
     np.testing.assert_array_equal(clips[5], oracle[1:5])  # frames 5..8
+
+
+def test_segment_decode_failure_degrades_to_black(tmp_path):
+    """A mid-stream decode failure must not kill the segment: the failed
+    frame is processed as a black frame (reference PredictAndGenerate.py:
+    222-225) and every other output is bit-identical to a clean run."""
+    model = DepthAnythingV2(TINY, dtype=jnp.float32)
+    params = random_params(model)
+    cfg = RunConfig(batch_size=2, input_size=56, compute_dtype="float32")
+    pipe = SbsPipeline(model, params, H, W, run_cfg=cfg)
+    video = tmp_path / "in.mp4"
+    write_synthetic_video(video, 6, h=H, w=W)
+
+    with VideoReader(str(video), begin=0) as r:
+        frames = np.stack(list(r.frames(0, 6)))
+    bad = 3
+    frames_oracle = frames.copy()
+    frames_oracle[bad] = 0  # what the runtime should substitute
+    st = pipe.initial_state()
+    outs = []
+    for i in range(0, 6, 2):
+        sbs, st = pipe.step(frames_oracle[i:i + 2], st)
+        outs.append(np.asarray(sbs))
+    oracle = np.concatenate(outs)
+
+    class FlakyReader:
+        """VideoReader facade whose decode fails exactly once (frame 3)."""
+
+        def __init__(self, path):
+            self._inner = VideoReader(path, begin=0)
+            self.height, self.width = self._inner.height, self._inner.width
+            self._i = 0
+
+        def read_into(self, out) -> bool:
+            ok = self._inner.read_into(out)
+            failed = self._i == bad
+            self._i += 1
+            return ok and not failed
+
+        def close(self):
+            self._inner.close()
+
+    clips = {}
+
+    class Grab:
+        def write_clip(self, begin, chunk):
+            clips[begin] = np.stack(chunk)
+
+        def wait(self):
+            pass
+
+    reader = FlakyReader(str(video))
+    try:
+        n = process_segment(pipe, reader, Grab(), 0, 6, max_frame_count=16,
+                            batch_size=2)
+    finally:
+        reader.close()
+    assert n == 6
+    np.testing.assert_array_equal(clips[0], oracle)

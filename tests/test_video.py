@@ -230,3 +230,19 @@ def test_cli_end_to_end(tmp_path, monkeypatch):
     assert check_subclips(subdir) == []
     _, n, w, h = probe_video(str(tmp_path / "out.mkv"))
     assert (n, w, h) == (14, 2 * W, H)
+
+
+def test_reader_black_frames_past_eof(tmp_path):
+    """Decode failure degrades to black frames (reference
+    PredictAndGenerate.py:222-225): frames() past the real EOF — the case a
+    container whose header overstates its frame count produces — yields
+    zeros instead of raising, so a worker keeps its segment contract."""
+    path = tmp_path / "short.mp4"
+    write_synthetic_video(path, 5)
+    with VideoReader(str(path), begin=0) as reader:
+        frames = list(reader.frames(0, 8))
+    assert len(frames) == 8
+    assert frames[4].any()  # last real frame decodes
+    for f in frames[5:]:
+        assert f.shape == (H, W, 3) and f.dtype == np.uint8
+        assert not f.any()  # substituted black
