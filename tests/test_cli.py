@@ -134,3 +134,51 @@ def test_pipeline_process_run_stop():
     assert time.time() - t0 < 12
     assert not proc.running()
     proc.stop()  # idempotent
+
+
+def test_pipeline_process_stop_kills_process_group(tmp_path):
+    """Stop must take down the WHOLE process group — grandchildren included —
+    matching the reference's psutil child-tree kill (UserInterface.py:127-140).
+    The pipeline child spawns encoder subprocesses; orphaning them would leak
+    ffmpeg/cv2 writers after Stop."""
+    import os
+    import signal
+    import sys
+    import time
+
+    from vr_video_generator_tpu.ui.app import PipelineProcess
+
+    pidfile = tmp_path / "grandchild.pid"
+    child_code = (
+        "import subprocess, sys;"
+        "p = subprocess.Popen([sys.executable, '-c', 'import time; time.sleep(60)']);"
+        f"open({str(pidfile)!r}, 'w').write(str(p.pid));"
+        "p.wait()"
+    )
+    proc = PipelineProcess()
+    proc.start([sys.executable, "-c", child_code])
+    for _ in range(200):
+        if pidfile.exists() and pidfile.read_text().strip():
+            break
+        time.sleep(0.05)
+    else:
+        proc.stop()
+        raise AssertionError("grandchild never started")
+    gpid = int(pidfile.read_text())
+
+    proc.stop()
+
+    def gone(pid: int) -> bool:
+        try:
+            with open(f"/proc/{pid}/stat") as fh:
+                return fh.read().split(") ")[-1].split()[0] == "Z"
+        except (FileNotFoundError, ProcessLookupError):
+            return True
+
+    for _ in range(200):
+        if gone(gpid):
+            break
+        time.sleep(0.05)
+    else:
+        os.kill(gpid, signal.SIGKILL)
+        raise AssertionError("grandchild survived stop() — group kill failed")

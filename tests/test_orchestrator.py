@@ -150,3 +150,31 @@ def test_repair_range_keeps_absolute_anchor_grid(tmp_path, monkeypatch):
     n = orchestrator.convert_range(cfg2, 9, 16, pipeline=pipeline)
     assert n == 7
     np.testing.assert_array_equal(captured[9], full[9:16])
+
+
+def test_error_funnel_writes_error_txt(env, monkeypatch):
+    """A segment failure must append context + traceback to the shared
+    Debug/ERROR.txt (reference PredictAndGenerate.py:259-272 funnel) and to
+    the per-segment log, then re-raise so the caller sees the failure."""
+    cfg, pipeline = env
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated mid-segment failure")
+
+    monkeypatch.setattr(orchestrator, "process_segment", boom)
+    with pytest.raises(RuntimeError, match="simulated mid-segment failure"):
+        orchestrator.convert_range(cfg, 0, 12, pipeline=pipeline)
+
+    error_txt = os.path.join(cfg.debug_dir, "ERROR.txt")
+    assert os.path.exists(error_txt)
+    text = open(error_txt).read()
+    assert "[ERROR] Segment 0 failed: simulated mid-segment failure" in text
+    assert "Traceback" in text and "RuntimeError" in text
+    seg_log = open(os.path.join(cfg.debug_dir, "segment_0.txt")).read()
+    assert "simulated mid-segment failure" in seg_log
+
+    # a second failure APPENDS (a+), preserving the first record
+    with pytest.raises(RuntimeError):
+        orchestrator.convert_range(cfg, 4, 8, pipeline=pipeline)
+    text2 = open(error_txt).read()
+    assert text2.count("[ERROR]") == 2 and text2.startswith(text[:40])
