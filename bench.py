@@ -156,7 +156,21 @@ def _run_sharded(model, params, h, w, b, cfg, mesh_shape, k_steps) -> dict:
                       f"{stride_tag}", fps)
 
 
+def _await_backend(done, deadline_s: float) -> bool:
+    """Hard init deadline: True if the backend came up within ``deadline_s``.
+
+    The devwatch warning alone still leaves the process blocked forever on a
+    dead relay; under the round driver that burns the whole bench budget. On
+    timeout the caller emits one honest JSON failure line and exits non-zero
+    — device *enumeration* takes seconds when the relay is healthy, so the
+    deadline only fires when the run could never have produced a number."""
+    return done.wait(deadline_s)
+
+
 def main() -> None:
+    import os
+    import sys
+
     from vr_video_generator_tpu.utils.cache import honor_platform_env
     from vr_video_generator_tpu.utils.devwatch import watch_backend_init
 
@@ -164,7 +178,16 @@ def main() -> None:
     # A down TPU relay blocks the first backend touch forever with no
     # output (multi-hour outage observed 2026-08-17); diagnose on stderr
     # instead of hanging silently under the driver.
-    watch_backend_init()
+    done = watch_backend_init()
+    deadline = float(os.environ.get("VRVG_INIT_TIMEOUT", "600"))
+    if not _await_backend(done, deadline):
+        print(json.dumps({
+            "metric": "backend_init_timeout", "value": 0.0,
+            "unit": "frames/s", "vs_baseline": 0.0,
+            "error": f"JAX backend init did not complete within "
+                     f"{deadline:.0f}s — TPU relay down? (see stderr "
+                     f"diagnosis; set VRVG_INIT_TIMEOUT to adjust)"}))
+        sys.exit(2)
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=int, default=2, choices=sorted(CONFIGS))
     parser.add_argument("--all", action="store_true",

@@ -32,3 +32,49 @@ def test_graft_entry_traces():
     lowered = jax.jit(fn).lower(*args)
     sbs_shape = lowered.out_info[0].shape
     assert tuple(sbs_shape)[1:] == (1080, 3840, 3)
+
+
+def test_await_backend_deadline():
+    """bench.main must bail (not hang) when backend init never completes."""
+    import threading
+
+    import bench
+
+    never = threading.Event()
+    assert not bench._await_backend(never, 0.05)
+    ready = threading.Event()
+    ready.set()
+    assert bench._await_backend(ready, 0.05)
+
+
+def test_bench_exits_nonzero_on_init_timeout(tmp_path):
+    """End-to-end: with a relay that never answers, bench.py prints one JSON
+    failure line and exits 2 within the deadline instead of blocking."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # let the (stubbed) TPU pin win
+    env["VRVG_INIT_TIMEOUT"] = "1"
+    # simulate the dead relay: a sitecustomize whose backend probe blocks
+    stub = tmp_path / "jax_stub"
+    stub.mkdir()
+    (stub / "jax").mkdir()
+    (stub / "jax" / "__init__.py").write_text(
+        "import time\n"
+        "def devices(*a, **k):\n"
+        "    time.sleep(3600)\n"
+        "class config:\n"
+        "    @staticmethod\n"
+        "    def update(*a, **k):\n"
+        "        pass\n")
+    env["PYTHONPATH"] = f"{stub}:{os.getcwd()}"
+    p = subprocess.run([sys.executable, "bench.py"], env=env,
+                       capture_output=True, text=True, timeout=120,
+                       cwd=os.getcwd())
+    assert p.returncode == 2, (p.returncode, p.stdout, p.stderr)
+    line = json.loads(p.stdout.strip().splitlines()[-1])
+    assert line["metric"] == "backend_init_timeout"
+    assert line["value"] == 0.0 and "relay" in line["error"]
