@@ -8,6 +8,11 @@ import numpy as np
 
 
 def main():
+    from vr_video_generator_tpu.utils.cache import honor_platform_env
+    from vr_video_generator_tpu.utils.devwatch import watch_backend_init
+
+    honor_platform_env()
+    watch_backend_init()  # diagnose a dead TPU relay instead of hanging
     import jax
     import jax.numpy as jnp
 

@@ -62,6 +62,11 @@ def interp_depth(depth_full: np.ndarray, stride: int) -> np.ndarray:
 
 
 def main() -> None:
+    from vr_video_generator_tpu.utils.cache import honor_platform_env
+    from vr_video_generator_tpu.utils.devwatch import watch_backend_init
+
+    honor_platform_env()
+    watch_backend_init()  # diagnose a dead TPU relay instead of hanging
     parser = argparse.ArgumentParser()
     parser.add_argument("--frames", type=int, default=32,
                         help="rounded up to a multiple of 8 (the batch size "
