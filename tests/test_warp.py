@@ -250,3 +250,33 @@ def test_warp_zero_depth(rng):
     ours, _ = _run_jax_sequence(imgs, depths, cfg)
     assert ours.dtype == np.uint8
     np.testing.assert_array_equal(ours[0, :, W:], imgs[0])
+
+
+def test_warp_random_config_sweep():
+    """Seeded randomized sweep over the stereo config space: random
+    disparity offsets, plane steps, depth magnitudes, and odd frame
+    geometries, each compared per-pixel against the oracle. Catches table
+    construction bugs the hand-picked configs above might straddle."""
+    sweep = np.random.default_rng(20260818)
+    for trial in range(8):
+        h = int(sweep.integers(48, 96))
+        w = int(sweep.integers(96, 160))
+        fg = float(sweep.uniform(0.008, 0.045))
+        bg = float(sweep.uniform(-0.025, min(0.008, fg - 1e-3)))
+        step = int(sweep.integers(1, 5))
+        tmax = float(sweep.uniform(2.0, 12.0))
+        cfg = StereoConfig(offset_fg=fg, offset_bg=bg,
+                           offset_step_size=step).normalized()
+        oracle = OracleSbs(offset_fg=cfg.offset_fg, offset_bg=cfg.offset_bg,
+                           offset_step_size=cfg.offset_step_size)
+        imgs = np.stack([synth_img(sweep, h=h, w=w) for _ in range(2)])
+        depths = np.stack([synth_depth(sweep, h=h, w=w, tmax=tmax + i)
+                           for i in range(2)])
+        ref = np.stack([oracle.process(imgs[i], depths[i]) for i in range(2)])
+        ours, _ = _run_jax_sequence(imgs, depths, cfg)
+        assert ours.shape == ref.shape == (2, h, 2 * w, 3), trial
+        mismatch = (ours != ref).any(axis=-1).mean()
+        assert mismatch < 5e-3, (
+            f"trial {trial} (h={h} w={w} fg={fg:.4f} bg={bg:.4f} "
+            f"step={step} tmax={tmax:.2f}): mismatch {mismatch}")
+        assert np.abs(ours.astype(int) - ref.astype(int)).mean() < 0.5, trial
