@@ -188,3 +188,42 @@ def test_banded_resize_under_sharded_batch(rng):
 
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
                                rtol=0.0, atol=1e-5)
+
+
+def test_banded_vs_dense_random_shape_sweep():
+    """Seeded sweep of banded-vs-dense equivalence across random (in, out)
+    sizes and weight kinds. Wherever _banded_plan engages, the blocked
+    apply must reproduce the dense einsum to summation-order noise — this
+    is the CPU guard behind the TPU banded-resize A/B."""
+    import jax
+    import jax.numpy as jnp
+
+    from vr_video_generator_tpu.ops.resize import (_apply_axis, _banded_plan,
+                                                   area_weights, cubic_weights,
+                                                   linear_weights)
+
+    sweep = np.random.default_rng(818)
+    engaged = 0
+    for trial in range(12):
+        n_in = int(sweep.integers(64, 700))
+        n_out = int(sweep.integers(64, 2200))
+        kind = trial % 3
+        if kind == 0:
+            w = cubic_weights(n_in, n_out, align_corners=bool(trial & 1))
+        elif kind == 1:
+            w = linear_weights(n_in, n_out, align_corners=bool(trial & 1))
+        else:
+            w = area_weights(n_in, n_out)
+        if _banded_plan(w) is None:
+            continue
+        engaged += 1
+        x = jnp.asarray(sweep.random((2, n_in, 5), dtype=np.float32))
+        banded = _apply_axis(x, w, 1, "o", jnp.float32,
+                             jax.lax.Precision.HIGH)
+        dense = jnp.einsum("abc,ob->aoc", x, jnp.asarray(w, jnp.float32),
+                           precision=jax.lax.Precision.HIGH)
+        assert banded.shape == (2, n_out, 5), trial
+        np.testing.assert_allclose(np.asarray(banded), np.asarray(dense),
+                                   rtol=0, atol=1e-5,
+                                   err_msg=f"trial {trial} {n_in}->{n_out}")
+    assert engaged >= 4, f"sweep engaged the banded path only {engaged}x"
