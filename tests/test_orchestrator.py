@@ -178,3 +178,62 @@ def test_error_funnel_writes_error_txt(env, monkeypatch):
         orchestrator.convert_range(cfg, 4, 8, pipeline=pipeline)
     text2 = open(error_txt).read()
     assert text2.count("[ERROR]") == 2 and text2.startswith(text[:40])
+
+
+def test_random_range_stride_sweep(tmp_path, monkeypatch):
+    """Seeded sweep: convert_range over random (stride, begin, end) with a
+    full-history warm-up must reproduce the corresponding slice of one cold
+    sequential run bit-exactly — the absolute-anchor-grid + halo-warm-up
+    contract, fuzzed instead of hand-picked."""
+    import dataclasses
+
+    from vr_video_generator_tpu.video.reader import VideoReader
+
+    video = tmp_path / "in.mp4"
+    n_frames = 16
+    write_synthetic_video(video, n_frames, h=H, w=W)
+    base = RunConfig(
+        video_dir=str(video), debug_dir=str(tmp_path / "Debug") + os.sep,
+        subclip_dir=str(tmp_path / "Subclip") + os.sep,
+        max_frame_count=16, batch_size=4, input_size=56,
+        compute_dtype="float32",
+    )
+    os.makedirs(base.debug_dir, exist_ok=True)
+    model = DepthAnythingV2(TINY, dtype=jnp.float32)
+    params = random_params(model)
+    with VideoReader(str(video), begin=0) as r:
+        frames = np.stack(list(r.frames(0, n_frames)))
+
+    captured = {}
+
+    class Grab(_CaptureWriter):
+        def __init__(self, *a, **k):
+            self.clips = captured
+
+    monkeypatch.setattr(orchestrator, "SubclipWriter", Grab)
+
+    pipes, fulls = {}, {}
+    for s in (1, 2, 4):
+        cfg = dataclasses.replace(base, depth_stride=s)
+        pipes[s] = SbsPipeline(model, params, H, W, run_cfg=cfg)
+        st = pipes[s].initial_state()
+        outs = []
+        for i in range(0, n_frames, 4):
+            sbs, st = pipes[s].step(frames[i:i + 4], st)
+            outs.append(np.asarray(sbs))
+        fulls[s] = np.concatenate(outs)
+
+    sweep = np.random.default_rng(16)
+    for trial in range(6):
+        s = int(sweep.choice([1, 2, 4]))
+        begin = int(sweep.integers(0, n_frames - 1))
+        end = int(sweep.integers(begin + 1, n_frames + 1))
+        warm = begin + int(sweep.integers(0, 5))  # covers the full history
+        cfg = dataclasses.replace(base, depth_stride=s, warmup_frames=warm)
+        captured.clear()
+        n = orchestrator.convert_range(cfg, begin, end, pipeline=pipes[s])
+        assert n == end - begin, trial
+        got = np.concatenate([captured[k] for k in sorted(captured)])
+        np.testing.assert_array_equal(
+            got, fulls[s][begin:end],
+            err_msg=f"trial {trial}: stride={s} [{begin},{end}) warm={warm}")
