@@ -183,3 +183,46 @@ def test_writer_accepts_packed_frames(tmp_path):
     assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 4
     ok, frame = cap.read()
     assert ok and frame.shape == (32, 64, 3)
+
+
+def test_full_frame_random_geometry_sweep():
+    """Seeded fuzz of the fused warp kernel vs the XLA path across random
+    frame geometries, stereo configs, and block sizes — bit-exact, since
+    both consume the same precomputed tables."""
+    sweep = np.random.default_rng(99)
+    for trial in range(6):
+        h = int(sweep.integers(40, 100))
+        w = int(sweep.integers(80, 170))
+        fg = float(sweep.uniform(0.01, 0.04))
+        step = int(sweep.integers(1, 4))
+        block_rows = int(sweep.choice([8, 16, 32]))
+        cfg = StereoConfig(offset_fg=fg, offset_step_size=step).normalized()
+        spec = WarpSpec.create(h, w, cfg)
+        img = synth_img(sweep, h=h, w=w)
+        depth = synth_depth(sweep, h=h, w=w,
+                            tmax=float(sweep.uniform(2.0, 10.0)))
+        r = spec.frame_offset_range(jnp.asarray(depth))
+        tables = build_plane_tables(jnp.asarray(depth), r, cfg, h,
+                                    spec.max_planes)
+        tag = (f"trial {trial}: h={h} w={w} fg={fg:.4f} step={step} "
+               f"block_rows={block_rows}")
+        # compositor at a random block size vs the XLA compositor
+        st = build_shift_tables(tables, spec.s_neg, spec.s_pos)
+        ref_comp, ref_cov = warp_composite_static(
+            jnp.asarray(img), jnp.asarray(depth), st, spec.s_neg, spec.s_pos)
+        comp, cov = warp_composite_pallas(
+            jnp.asarray(img), jnp.asarray(depth), st, spec.s_neg, spec.s_pos,
+            block_rows=block_rows, interpret=True)
+        np.testing.assert_array_equal(np.asarray(comp), np.asarray(ref_comp),
+                                      err_msg=tag)
+        np.testing.assert_array_equal(np.asarray(cov), np.asarray(ref_cov),
+                                      err_msg=tag)
+        # full fused frame (default blocks) vs the XLA frame
+        ref = warp_frame(jnp.asarray(img), jnp.asarray(depth), tables,
+                         spec.kernel_size, spec.cfg.sigma, impl="xla",
+                         s_neg=spec.s_neg, s_pos=spec.s_pos)
+        out = warp_frame_pallas(jnp.asarray(img), jnp.asarray(depth), tables,
+                                spec.kernel_size, spec.cfg.sigma,
+                                spec.s_neg, spec.s_pos, interpret=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref),
+                                      err_msg=tag)
