@@ -170,3 +170,53 @@ def test_ln_qkv_layout_matches_unfused_prep():
                                rtol=0, atol=1e-5)
     assert np.all(np.asarray(kt)[:, :, n:] == 0)
     assert np.all(np.asarray(vt)[:, :, n:] == 0)
+
+
+def test_attention_half_block_random_shape_sweep():
+    """Seeded fuzz of the fused attention half-block chain (ln_qkv ->
+    oneshot heads attention -> proj+ls+residual) vs the plain XLA
+    expression, over random (b, n, d, heads, block_n)."""
+    import jax
+
+    from vr_video_generator_tpu.ops.attention_pallas import oneshot_mha_heads
+    from vr_video_generator_tpu.ops.layernorm import _layernorm_ref
+    from vr_video_generator_tpu.ops.qkv_pallas import (ln_qkv_pallas,
+                                                       proj_ls_residual_pallas)
+
+    sweep = np.random.default_rng(1111)
+    for trial in range(6):
+        d = int(sweep.choice([128, 256, 512]))
+        dh = int(sweep.choice([32, 64]))
+        heads = d // dh
+        b = int(sweep.integers(1, 3))
+        n = int(sweep.integers(30, 700))
+        block_n = int(sweep.choice([128, 256, 512]))
+        scale = dh ** -0.5
+        rng = np.random.default_rng(trial)
+        mk = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.1, jnp.float32)
+        x = mk(b, n, d)
+        lnw, lnb = 1 + mk(d), mk(d)
+        wq, bq = mk(d, 3 * d), mk(3 * d)
+        wp, bp = mk(d, d), mk(d)
+        gamma = mk(d)
+
+        qt, kt, vt = ln_qkv_pallas(x, lnw, lnb, wq, bq, heads, scale,
+                                   block_n=block_n, interpret=True)
+        ot = oneshot_mha_heads(qt, kt, vt, n, interpret=True)
+        got = proj_ls_residual_pallas(ot, x, wp, bp, gamma,
+                                      block_n=block_n, interpret=True)
+
+        h = _layernorm_ref(x, lnw, lnb, 1e-6, x.dtype)
+        t = (jnp.dot(h, wq, preferred_element_type=jnp.float32)
+             + bq).reshape(b, n, 3, heads, dh)
+        q, k, v = (jnp.moveaxis(t[:, :, i], 1, 2) for i in range(3))
+        a = jax.nn.softmax(
+            jnp.einsum("bhqd,bhkd->bhqk", q * scale, k), axis=-1)
+        cat = jnp.moveaxis(jnp.einsum("bhqk,bhkd->bhqd", a, v),
+                           1, 2).reshape(b, n, d)
+        want = x + gamma * (jnp.dot(cat, wp,
+                                    preferred_element_type=jnp.float32) + bp)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=0, atol=2e-4,
+            err_msg=f"trial {trial}: b={b} n={n} d={d} heads={heads} "
+                    f"block_n={block_n}")
