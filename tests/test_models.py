@@ -113,3 +113,44 @@ def test_pth_roundtrip_through_load_model(vits_pair, tmp_path):
         lambda a, b: np.testing.assert_array_equal(
             np.asarray(a, np.float32), np.asarray(b, np.float32)),
         params, params_direct)
+
+
+def test_forward_parity_random_grid_sweep(vits_pair):
+    """Seeded fuzz: random non-square multiple-of-14 inputs vs torch —
+    pos-embed interpolation and the head's resize ladder at odd patch
+    grids the fixed tests straddle."""
+    tmodel, jmodel, params = vits_pair
+    sweep = np.random.default_rng(41)
+    fwd = jax.jit(lambda p, x: jmodel.apply({"params": p}, x))
+    for trial in range(4):
+        h = 14 * int(sweep.integers(4, 12))
+        w = 14 * int(sweep.integers(4, 12))
+        x = sweep.standard_normal((1, h, w, 3), dtype=np.float32)
+        with torch.no_grad():
+            ref = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        ours = np.asarray(fwd(params, jnp.asarray(x)))
+        assert ours.shape == ref.shape, (trial, h, w)
+        scale = max(np.abs(ref).max(), 1e-6)
+        err = np.abs(ours - ref).max() / scale
+        assert err < 2e-3, f"trial {trial} ({h}x{w}): rel err {err}"
+
+
+def test_infer_depth_parity_random_frame_sweep(vits_pair):
+    """Seeded fuzz of the full infer chain at random (non-multiple-of-14)
+    frame sizes — preprocess policy, forward, bicubic upsample, scaler."""
+    tmodel, jmodel, params = vits_pair
+    sweep = np.random.default_rng(42)
+    for trial in range(3):
+        fh = int(sweep.integers(50, 150))
+        fw = int(sweep.integers(70, 200))
+        frame_rgb = sweep.integers(0, 256, (fh, fw, 3), dtype=np.uint8)
+        with torch.no_grad():
+            ref = tmodel.infer_image(frame_rgb[:, :, ::-1], input_size=126)
+        ref = ref * 1.618
+        ours = np.asarray(infer_depth(jmodel, params,
+                                      jnp.asarray(frame_rgb[None]),
+                                      input_size=126))[0]
+        assert ours.shape == ref.shape, (trial, fh, fw)
+        scale = max(np.abs(ref).max(), 1e-6)
+        err = np.abs(ours - ref).max() / scale
+        assert err < 5e-3, f"trial {trial} ({fh}x{fw}): rel err {err}"
