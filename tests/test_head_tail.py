@@ -201,3 +201,57 @@ def test_rcu_plus_ext_chain_parity():
                                channel_major_halo=True, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=0, atol=1e-3)
+
+
+def test_head_tail_random_shape_sweep():
+    """Seeded fuzz of all three fused tail variants (base, ext, big-C) at
+    random geometries and channel widths vs the XLA chain."""
+    from vr_video_generator_tpu.ops.head_tail_pallas import (
+        head_tail_big_pallas, head_tail_ext_pallas)
+
+    sweep = np.random.default_rng(2323)
+    engaged = 0
+    for trial in range(8):
+        c = int(sweep.choice([16, 32, 64, 128]))
+        c2 = max(8, c // int(sweep.choice([1, 2])))
+        c3 = int(sweep.choice([8, 16, 32]))
+        tag = f"trial {trial}: c={c} c2={c2} c3={c3}"
+        if trial % 3 == 0:
+            h2 = int(sweep.integers(20, 60))
+            w2 = int(sweep.integers(24, 72))
+            block_rows = int(sweep.choice([16, 32]))
+            args = _make_case(sweep, 1, h2, w2, c, c2, c3)
+            want = xla_tail(*args)
+            got = head_tail_pallas(*args, block_rows=block_rows,
+                                   interpret=True)
+            atol = 2e-4
+            tag += f" base h2={h2} w2={w2} block_rows={block_rows}"
+        else:
+            h0 = int(sweep.integers(10, 30))
+            w0 = int(sweep.integers(12, 36))
+            h1, w1 = h0 * 2 * 14 // 8, w0 * 2 * 14 // 8
+            x = jnp.asarray(sweep.standard_normal((1, h0, w0, c)) * 0.1,
+                            jnp.float32)
+            k_oc = jnp.asarray(sweep.standard_normal((1, 1, c, c)) * 0.1,
+                               jnp.float32)
+            b_oc = jnp.asarray(sweep.standard_normal((c,)) * 0.1, jnp.float32)
+            (_, k1, b1, k2, b2, k3, b3, _) = _make_case(sweep, 1, 8, 8,
+                                                        c, c2, c3)
+            want = xla_tail_ext(x, k_oc, b_oc, k1, b1, k2, b2, k3, b3,
+                                (h1, w1))
+            fn = head_tail_ext_pallas if trial % 3 == 1 else \
+                head_tail_big_pallas
+            try:
+                got = fn(x, k_oc, b_oc, k1, b1, k2, b2, k3, b3, (h1, w1),
+                         interpret=True)
+            except ValueError:
+                # the VMEM planner refused this geometry — the production
+                # caller (models/dpt.py) gates on the same planner
+                continue
+            atol = 5e-4
+            tag += f" {fn.__name__} h0={h0} w0={w0}"
+        engaged += 1
+        assert got.shape == want.shape, tag
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=atol, err_msg=tag)
+    assert engaged >= 4, f"sweep engaged only {engaged} geometries"
