@@ -69,3 +69,26 @@ def test_real_probe_initializes_cpu_backend():
     # conftest pinned jax to CPU, so the default probe completes quickly.
     done = devwatch.watch_backend_init(threshold_s=30.0, once=False)
     assert done.wait(30.0)
+
+
+def test_require_backend_raises_on_timeout(monkeypatch):
+    import threading
+
+    import pytest
+
+    from vr_video_generator_tpu.utils.devwatch import require_backend
+
+    ready = threading.Event()
+    ready.set()
+    require_backend(ready, deadline_s=0.05)  # no-op when init completed
+
+    never = threading.Event()
+    with pytest.raises(RuntimeError, match="relay"):
+        require_backend(never, deadline_s=0.05)
+
+    # env default is honored; <= 0 waits (use a pre-set event to not block)
+    monkeypatch.setenv("VRVG_INIT_TIMEOUT", "0.05")
+    with pytest.raises(RuntimeError):
+        require_backend(never)
+    monkeypatch.setenv("VRVG_INIT_TIMEOUT", "0")
+    require_backend(ready)

@@ -139,12 +139,13 @@ def _convert_range_sharded(cfg: RunConfig, begin: int, end: int,
 
 def run(cfg: RunConfig, allow_random: bool = False) -> None:
     """Full run with repair_mode dispatch (reference :400-419)."""
-    from vr_video_generator_tpu.utils.devwatch import watch_backend_init
+    from vr_video_generator_tpu.utils.devwatch import (require_backend,
+                                                       watch_backend_init)
 
     # Kick backend init now (concurrent with dir/video setup) and get a
     # stderr diagnosis if it stalls — a down TPU relay otherwise hangs the
     # run forever with no output.
-    watch_backend_init()
+    done = watch_backend_init()
     create_folder_if_not_exist(cfg.debug_dir)
     create_folder_if_not_exist(cfg.subclip_dir)
     if cfg.repair_mode != 1:
@@ -153,6 +154,9 @@ def run(cfg: RunConfig, allow_random: bool = False) -> None:
         remove_all_files(cfg.subclip_dir)
 
     if cfg.repair_mode in (0, 1):
+        # fail loudly (VRVG_INIT_TIMEOUT, default 600s; 0 waits forever)
+        # rather than hanging at the first device touch below
+        require_backend(done)
         from vr_video_generator_tpu.utils.profiling import trace
 
         with trace(cfg.profile_dir or None):

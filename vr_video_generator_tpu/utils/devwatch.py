@@ -85,3 +85,24 @@ def watch_backend_init(
     threading.Thread(target=_watch_thread, daemon=True,
                      name="devwatch-watch").start()
     return done
+
+
+def require_backend(done: threading.Event,
+                    deadline_s: Optional[float] = None) -> None:
+    """Block until backend init completes or the deadline expires; raise a
+    diagnosed RuntimeError on timeout instead of letting the first device
+    touch hang forever. Deadline default: the VRVG_INIT_TIMEOUT env var
+    (seconds, 600 if unset); <= 0 waits forever. Healthy enumeration takes
+    seconds — only a dead relay (or a wedged plugin) ever reaches this."""
+    import os
+
+    if deadline_s is None:
+        deadline_s = float(os.environ.get("VRVG_INIT_TIMEOUT", "600"))
+    if deadline_s <= 0:
+        done.wait()
+        return
+    if not done.wait(deadline_s):
+        raise RuntimeError(
+            f"JAX backend init did not complete within {deadline_s:.0f}s — "
+            "TPU relay down? Set JAX_PLATFORMS=cpu to run on CPU, or "
+            "VRVG_INIT_TIMEOUT=0 to wait indefinitely.")
