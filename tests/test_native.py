@@ -149,3 +149,21 @@ def test_native_unpack_sbs_matches_np():
     packed = rng.integers(0, 1 << 24, (17, 130), dtype=np.uint32)
     got = native.unpack_sbs(packed)
     np.testing.assert_array_equal(got, native.unpack_sbs_np(packed))
+
+
+def test_native_kernels_random_shape_sweep(rng):
+    """Seeded fuzz of the C++ byte kernels vs numpy at random (odd) shapes:
+    BGR->RGB swizzle and packed-u32 SBS unpack, including strides that are
+    not multiples of the 16-byte vector width."""
+    sweep = np.random.default_rng(55)
+    for trial in range(10):
+        h = int(sweep.integers(1, 130))
+        w = int(sweep.integers(1, 257))
+        bgr = sweep.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        got = native.bgr_to_rgb(bgr)
+        np.testing.assert_array_equal(got, bgr[:, :, ::-1],
+                                      err_msg=f"trial {trial} h={h} w={w}")
+        packed = sweep.integers(0, 2 ** 24, (h, w), dtype=np.uint32)
+        np.testing.assert_array_equal(native.unpack_sbs(packed),
+                                      native.unpack_sbs_np(packed),
+                                      err_msg=f"trial {trial} h={h} w={w}")
