@@ -3,9 +3,12 @@
 XLA's f32 erf spends ~0.66 ms/frame of VPU time across the ViT's 12 MLPs at
 1080p/vits; the Abramowitz & Stegun 7.1.26 rational approximation (one exp,
 one reciprocal, a degree-5 polynomial) reaches |erf err| <= 1.5e-7 — two
-orders of magnitude below one bf16 ulp, so outputs are bit-indistinguishable
-from the exact erf GELU in the bf16 pipeline (and within 8e-7 in f32) while
-costing ~0.31 ms/frame. The reference's torch nn.GELU is the exact erf form
+orders of magnitude below one bf16 ulp, so bf16 outputs match the exact erf
+GELU to one ulp (and 8e-7 in f32) while costing ~0.31 ms/frame — except in
+the deep negative tail (x below about -5.7, where 1 - poly*exp rounds to
+exactly 1 in f32): there outputs flush to -0.0 while the exact GELU keeps
+values under 5e-8 in magnitude, negligible against activation scales and
+pinned down in tests/test_gelu.py. The reference's torch nn.GELU is the exact erf form
 (reference dinov2_layers/mlp.py:26,37).
 """
 
