@@ -246,3 +246,66 @@ def test_reader_black_frames_past_eof(tmp_path):
     for f in frames[5:]:
         assert f.shape == (H, W, 3) and f.dtype == np.uint8
         assert not f.any()  # substituted black
+
+
+def test_checker_random_damage_sweep(tmp_path):
+    """Seeded fuzz of check_subclips: random interior damage (deleted,
+    truncated, or overlapping clips) must leave only well-formed disjoint
+    clips after remove_bad, with the repair ranges covering every frame
+    the surviving clips lost. (Missing head/tail clips are out of contract
+    — the reference checker also only scans between found clips.)"""
+    from vr_video_generator_tpu.video.check import check_subclips, parse_clip_name
+    from vr_video_generator_tpu.video.combine import sorted_subclips
+
+    def write_clip(d, begin, end_incl, n_frames=None):
+        n = (end_incl + 1 - begin) if n_frames is None else n_frames
+        w = cv2.VideoWriter(str(d / f"{begin}_{end_incl}.mp4"),
+                            cv2.VideoWriter_fourcc(*"mp4v"), FPS, (32, 24))
+        for _ in range(n):
+            w.write(np.zeros((24, 32, 3), np.uint8))
+        w.release()
+
+    sweep = np.random.default_rng(77)
+    for trial in range(6):
+        d = tmp_path / f"t{trial}"
+        d.mkdir()
+        # random partition of [0, total) into 3-5 clips
+        n_clips = int(sweep.integers(3, 6))
+        cuts = np.sort(sweep.choice(np.arange(1, 20), n_clips - 1,
+                                    replace=False))
+        bounds = [0, *cuts.tolist(), 20]
+        spans = list(zip(bounds[:-1], bounds[1:]))
+        for lo, hi in spans:
+            write_clip(d, lo, hi - 1)
+        # 1-2 interior corruptions
+        damage = set()
+        for _ in range(int(sweep.integers(1, 3))):
+            which = int(sweep.integers(1, len(spans) - 1))
+            lo, hi = spans[which]
+            kind = int(sweep.integers(0, 3))
+            if kind == 0:      # delete -> gap
+                (d / f"{lo}_{hi - 1}.mp4").unlink(missing_ok=True)
+            elif kind == 1:    # truncate -> length issue
+                write_clip(d, lo, hi - 1, n_frames=max(1, hi - lo - 1))
+            else:              # extra overlapping clip
+                write_clip(d, max(0, lo - 1), hi - 1)
+            damage.update(range(lo, hi))
+
+        issues = check_subclips(str(d), remove_bad=True)
+        kept = sorted_subclips(str(d))
+        covered = set()
+        for name in kept:
+            b, e = parse_clip_name(name)
+            span = set(range(b, e + 1))
+            assert not (span & covered), f"trial {trial}: kept clips overlap"
+            from vr_video_generator_tpu.video.reader import probe_video
+            _, real_len, _, _ = probe_video(str(d / name))
+            assert real_len == e + 1 - b, f"trial {trial}: kept a bad clip"
+            covered |= span
+        repair = set()
+        for i in issues:
+            repair.update(range(*i.repair_range))
+        missing = set(range(0, 20)) - covered
+        assert missing <= repair, (
+            f"trial {trial}: frames {sorted(missing - repair)} lost but "
+            f"not in any repair range (issues={issues})")
