@@ -237,3 +237,18 @@ def test_random_range_stride_sweep(tmp_path, monkeypatch):
         np.testing.assert_array_equal(
             got, fulls[s][begin:end],
             err_msg=f"trial {trial}: stride={s} [{begin},{end}) warm={warm}")
+
+
+def test_run_reports_post_combine_frame_count(env, monkeypatch, capsys):
+    """run() must end with the reference's post-combine frame-count check
+    (Combine_Clips.py:56-62): both counts and the difference, printed."""
+    import dataclasses
+
+    cfg, pipeline = env
+    monkeypatch.chdir(os.path.dirname(cfg.video_dir))
+    orchestrator.convert_range(cfg, 0, 12, pipeline=pipeline)
+    orchestrator.run(dataclasses.replace(cfg, repair_mode=2),
+                     allow_random=True)
+    out = capsys.readouterr().out
+    assert "These frames count should be the same" in out
+    assert "Original: 12 output: 12, difference: 0" in out
