@@ -45,3 +45,17 @@ def test_repair_mode_regenerates_broken_range(tmp_path):
                          "--repair_mode", "1"] + flags)
     assert rc == 0
     assert check_subclips(str(sub)) == []
+
+
+def test_random_sleep_bounds(capsys):
+    """Parity helper (reference SupportFunction.py:64-71): sleeps within
+    the range and announces the length."""
+    import time
+
+    from vr_video_generator_tpu.utils.fsutil import random_sleep
+
+    t0 = time.monotonic()
+    random_sleep((0.01, 0.05), message="stagger")
+    elapsed = time.monotonic() - t0
+    assert 0.005 <= elapsed < 1.0
+    assert "stagger" in capsys.readouterr().out

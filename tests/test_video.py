@@ -309,3 +309,13 @@ def test_checker_random_damage_sweep(tmp_path):
         assert missing <= repair, (
             f"trial {trial}: frames {sorted(missing - repair)} lost but "
             f"not in any repair range (issues={issues})")
+
+
+def test_get_length(tmp_path):
+    """Duration probe (reference SupportFunction.py:43-49): frame_count/fps
+    fallback on ffprobe-less hosts."""
+    from vr_video_generator_tpu.video.reader import get_length
+
+    video = tmp_path / "in.mp4"
+    write_synthetic_video(video, 20)
+    assert abs(get_length(str(video)) - 20 / FPS) < 0.25

@@ -78,11 +78,3 @@ def layernorm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
     return out.reshape(*lead, d)
 
 
-class FusedLayerNorm:
-    """Drop-in for the model: call signature mirrors flax LayerNorm params
-    ({'scale','bias'}) so the converter's param tree stays unchanged."""
-
-    @staticmethod
-    def apply(params, x, eps: float = 1e-6, out_dtype=None):
-        return layernorm(x, params["scale"], params["bias"], eps=eps,
-                         out_dtype=out_dtype)

@@ -32,8 +32,9 @@ def create_folder_if_not_exist(folder_dir: str) -> None:
 
 def random_sleep(sleep_range, message: str = "") -> None:
     """Staggered-start sleep (reference SupportFunction.py:64-71). The TPU
-    build needs no staggering for device access, but encode worker processes
-    keep it to avoid thundering-herd file opens."""
+    build needs no staggering (one program owns the device; encode
+    subprocesses are serialized by SubclipWriter) — kept as operator API
+    parity for external scripts that used the reference's helper."""
     length = random.uniform(sleep_range[0], sleep_range[1])
     print_flush(f"{message} : {length} seconds.")
     time.sleep(length)
