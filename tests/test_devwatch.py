@@ -7,7 +7,7 @@ from vr_video_generator_tpu.utils import devwatch
 
 
 def _fresh():
-    devwatch._started = False
+    devwatch._done_event = None
 
 
 def test_fast_probe_no_warning():
@@ -59,9 +59,24 @@ def test_once_collapses_repeat_calls():
     assert first.wait(5.0)
     second = devwatch.watch_backend_init(
         threshold_s=0.1, probe=lambda: calls.append(2), warn=lambda s: None)
-    assert second.is_set()  # pre-set event, no second probe thread
+    assert second is first  # the FIRST call's event, no second probe thread
+    assert second.is_set()
     time.sleep(0.2)
     assert calls == [1]
+
+
+def test_once_repeat_call_sees_a_still_hung_probe():
+    """A second library call must NOT get a pre-set event while the first
+    probe is still blocked — require_backend would sail past a dead relay."""
+    _fresh()
+    release = threading.Event()
+    first = devwatch.watch_backend_init(
+        threshold_s=30.0, probe=release.wait, warn=lambda s: None)
+    second = devwatch.watch_backend_init(
+        threshold_s=30.0, probe=lambda: None, warn=lambda s: None)
+    assert second is first and not second.is_set()
+    release.set()
+    assert second.wait(5.0)
 
 
 def test_real_probe_initializes_cpu_backend():

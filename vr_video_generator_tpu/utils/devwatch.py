@@ -21,7 +21,7 @@ import sys
 import threading
 from typing import Callable, Optional
 
-_started = False
+_done_event: Optional[threading.Event] = None
 _lock = threading.Lock()
 
 
@@ -54,19 +54,18 @@ def watch_backend_init(
 
     Returns an Event set when the backend finished initializing (or the
     probe raised — a fast failure is a *diagnosed* failure, not a stall).
-    ``once`` collapses repeat calls in one process to a no-op returning a
-    pre-set event, so library code can call this freely.
+    ``once`` collapses repeat calls in one process to a no-op returning
+    the FIRST call's event, so library code can call this freely and a
+    later require_backend still sees the true init state (a fresh pre-set
+    event here would let a second caller sail past a hung relay).
     """
-    global _started
+    global _done_event
+    done = threading.Event()
     if once:
         with _lock:
-            if _started:
-                ev = threading.Event()
-                ev.set()
-                return ev
-            _started = True
-
-    done = threading.Event()
+            if _done_event is not None:
+                return _done_event
+            _done_event = done
     probe_fn = probe or _default_probe
     warn_fn = warn or _default_warn
 
