@@ -156,38 +156,18 @@ def _run_sharded(model, params, h, w, b, cfg, mesh_shape, k_steps) -> dict:
                       f"{stride_tag}", fps)
 
 
-def _await_backend(done, deadline_s: float) -> bool:
-    """Hard init deadline: True if the backend came up within ``deadline_s``.
-
-    The devwatch warning alone still leaves the process blocked forever on a
-    dead relay; under the round driver that burns the whole bench budget. On
-    timeout the caller emits one honest JSON failure line and exits non-zero
-    — device *enumeration* takes seconds when the relay is healthy, so the
-    deadline only fires when the run could never have produced a number."""
-    return done.wait(deadline_s)
-
-
 def main() -> None:
-    import os
     import sys
 
     from vr_video_generator_tpu.utils.cache import honor_platform_env
-    from vr_video_generator_tpu.utils.devwatch import watch_backend_init
+    from vr_video_generator_tpu.utils.devwatch import (require_backend,
+                                                       watch_backend_init)
 
     honor_platform_env()  # before any jax backend init (see run_config)
     # A down TPU relay blocks the first backend touch forever with no
     # output (multi-hour outage observed 2026-08-17); diagnose on stderr
     # instead of hanging silently under the driver.
     done = watch_backend_init()
-    deadline = float(os.environ.get("VRVG_INIT_TIMEOUT", "600"))
-    if not _await_backend(done, deadline):
-        print(json.dumps({
-            "metric": "backend_init_timeout", "value": 0.0,
-            "unit": "frames/s", "vs_baseline": 0.0,
-            "error": f"JAX backend init did not complete within "
-                     f"{deadline:.0f}s — TPU relay down? (see stderr "
-                     f"diagnosis; set VRVG_INIT_TIMEOUT to adjust)"}))
-        sys.exit(2)
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=int, default=2, choices=sorted(CONFIGS))
     parser.add_argument("--all", action="store_true",
@@ -201,13 +181,23 @@ def main() -> None:
                         help="opt-in depth-stride production mode (depth "
                              "net on every s-th frame; 1 = parity default)")
     args, _ = parser.parse_known_args()
+    # Hard init deadline (after argparse so --help never blocks): the
+    # devwatch warning alone leaves the process blocked forever on a dead
+    # relay, which under the round driver burns the whole bench budget. On
+    # timeout emit one honest JSON failure line and exit non-zero. Same
+    # VRVG_INIT_TIMEOUT semantics as the orchestrator (0 waits forever).
+    try:
+        require_backend(done)
+    except RuntimeError as e:
+        print(json.dumps({
+            "metric": "backend_init_timeout", "value": 0.0,
+            "unit": "frames/s", "vs_baseline": 0.0, "error": str(e)}))
+        sys.exit(2)
     mesh_shape = None
     if args.sharded:
         mesh_shape = tuple(int(v)
                            for v in args.sharded.replace("x", ",").split(","))
     if args.all:
-        import sys
-
         import jax
 
         on_tpu = jax.default_backend() == "tpu"

@@ -13,6 +13,10 @@
 # Safe to re-run; every step is read-only except the two matrix files.
 set -e
 cd "$(dirname "$0")/.."
+# the outage workaround (JAX_PLATFORMS=cpu) must NOT leak into the real
+# measurements — bench/stage_bench honor it and would silently produce
+# CPU-smoke numbers in the committed matrix artifacts
+unset JAX_PLATFORMS
 stamp=$(date -u +%Y%m%dT%H%M%SZ)
 log="relay_return_${stamp}.log"
 exec > >(tee "$log") 2>&1

@@ -34,19 +34,6 @@ def test_graft_entry_traces():
     assert tuple(sbs_shape)[1:] == (1080, 3840, 3)
 
 
-def test_await_backend_deadline():
-    """bench.main must bail (not hang) when backend init never completes."""
-    import threading
-
-    import bench
-
-    never = threading.Event()
-    assert not bench._await_backend(never, 0.05)
-    ready = threading.Event()
-    ready.set()
-    assert bench._await_backend(ready, 0.05)
-
-
 def test_bench_exits_nonzero_on_init_timeout(tmp_path):
     """End-to-end: with a relay that never answers, bench.py prints one JSON
     failure line and exits 2 within the deadline instead of blocking."""

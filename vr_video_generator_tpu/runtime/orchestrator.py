@@ -170,15 +170,9 @@ def run(cfg: RunConfig, allow_random: bool = False) -> None:
                       just_combine=1)
     if cfg.repair_mode in (0, 2, 3):
         # post-combine frame-count check (reference Combine_Clips.py:56-62)
-        from vr_video_generator_tpu.utils.logging import print_flush
         from vr_video_generator_tpu.video.combine import verify_frame_count
 
-        diff = verify_frame_count(cfg.video_dir, cfg.output_dir)
-        _, n_orig, _, _ = probe_video(cfg.video_dir)
-        _, n_out, _, _ = probe_video(cfg.output_dir)
-        print_flush("These frames count should be the same")
-        print_flush(f"Original: {n_orig} output: {n_out}, "
-                    f"difference: {diff}")
+        verify_frame_count(cfg.video_dir, cfg.output_dir, verbose=True)
 
 
 def check_and_repair(cfg: RunConfig, repair: bool = True,

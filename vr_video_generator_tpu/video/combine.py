@@ -82,9 +82,17 @@ def combine_clips(subclip_dir: str, original_path: str, output_path: str,
     return 0
 
 
-def verify_frame_count(original_path: str, output_path: str) -> int:
+def verify_frame_count(original_path: str, output_path: str,
+                       verbose: bool = False) -> int:
     """Post-combine frame-count check (reference Combine_Clips.py:56-62);
-    returns the absolute difference."""
+    returns the absolute difference. ``verbose`` prints the reference's
+    comparison lines (each file probed exactly once)."""
     _, n_orig, _, _ = probe_video(original_path)
     _, n_out, _, _ = probe_video(output_path)
+    if verbose:
+        from vr_video_generator_tpu.utils.logging import print_flush
+
+        print_flush("These frames count should be the same")
+        print_flush(f"Original: {n_orig} output: {n_out}, "
+                    f"difference: {abs(n_out - n_orig)}")
     return abs(n_out - n_orig)
