@@ -1,0 +1,62 @@
+"""Mechanics drill of scripts/real_weights_runbook.py with a stand-in
+checkpoint: every step between "weights arrive" and "north star proven"
+(.pth load -> convert -> golden depth -> per-pixel parity -> artifact)
+must work; only the genuine downloaded weights are unprovable offline."""
+
+import json
+import os
+import subprocess
+import sys
+
+import cv2
+import numpy as np
+import pytest
+import torch
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, cwd=ROOT):
+    return subprocess.run(
+        [sys.executable, os.path.join(ROOT, "scripts/real_weights_runbook.py"),
+         *args], capture_output=True, text=True, cwd=cwd, timeout=480)
+
+
+def test_runbook_pass_with_standin_checkpoint(tmp_path):
+    from tests.torch_ref import build_torch_model
+
+    ckpt_dir = tmp_path / "checkpoints"
+    ckpt_dir.mkdir()
+    torch.save(build_torch_model("vits").state_dict(),
+               ckpt_dir / "depth_anything_v2_vits.pth")
+    clip = tmp_path / "tiny.mp4"
+    rng = np.random.default_rng(5)
+    w = cv2.VideoWriter(str(clip), cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                        (128, 72))
+    for _ in range(4):
+        w.write(rng.integers(0, 255, (72, 128, 3), dtype=np.uint8))
+    w.release()
+
+    out = tmp_path / "REPORT.json"
+    p = _run(["--checkpoints_dir", str(ckpt_dir), "--configs", "1",
+              "--frames", "2", "--input_size", "126", "--video", str(clip),
+              "--workdir", str(tmp_path / "work"), "--out", str(out)])
+    assert p.returncode == 0, p.stdout + p.stderr
+    artifact = json.loads(out.read_text())
+    assert artifact["all_pass"] is True
+    (row,) = artifact["rows"]
+    assert row["status"] == "PASS"
+    g = row["golden_depth"]
+    assert g["depth_ok"] and g["under_step_cap"]
+    assert "PASS" in row["parity_tail"][-1]
+
+
+def test_runbook_skips_missing_checkpoints(tmp_path):
+    out = tmp_path / "REPORT.json"
+    p = _run(["--checkpoints_dir", str(tmp_path), "--configs", "1,3",
+              "--out", str(out), "--workdir", str(tmp_path / "work")])
+    assert p.returncode == 1  # nothing proven -> INCOMPLETE
+    artifact = json.loads(out.read_text())
+    assert artifact["all_pass"] is False
+    assert [r["status"] for r in artifact["rows"]] == \
+        ["SKIP (checkpoint missing)"] * 2
