@@ -227,3 +227,30 @@ def test_banded_vs_dense_random_shape_sweep():
                                    rtol=0, atol=1e-5,
                                    err_msg=f"trial {trial} {n_in}->{n_out}")
     assert engaged >= 4, f"sweep engaged the banded path only {engaged}x"
+
+
+def test_preprocess_folded_random_size_sweep():
+    """Seeded fuzz: folded == exact preprocess across random frame sizes
+    (odd dims, portrait/landscape) in f32; each also checked against the
+    cv2+numpy reference chain."""
+    import jax.numpy as jnp
+
+    sweep = np.random.default_rng(9)
+    for trial in range(5):
+        h = int(sweep.integers(40, 400))
+        w = int(sweep.integers(40, 500))
+        frame = sweep.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        net_hw = network_input_size(h, w)
+        exact = np.asarray(preprocess_frames(frame, net_hw,
+                                             dtype=jnp.float32))
+        folded = np.asarray(preprocess_frames(frame, net_hw,
+                                              dtype=jnp.float32,
+                                              impl="folded"))
+        assert np.abs(folded - exact).max() < 1e-4, \
+            f"trial {trial}: {h}x{w} -> {net_hw}"
+        img = frame.astype(np.float64) / 255.0
+        img = cv2.resize(img, (net_hw[1], net_hw[0]),
+                         interpolation=cv2.INTER_AREA)
+        img = (img - [0.485, 0.456, 0.406]) / [0.229, 0.224, 0.225]
+        assert np.abs(exact - img).max() < 1e-4, \
+            f"trial {trial}: {h}x{w} vs cv2 chain"
