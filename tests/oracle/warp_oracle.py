@@ -16,15 +16,18 @@ import numpy as np
 
 class OracleSbs:
     def __init__(self, offset_fg=0.025, offset_bg=-0.01, offset_step_size=1,
-                 sigma=3.0):
+                 sigma=3.0, dampening_count=2, dampening_init=0.3,
+                 dampening_ratio=0.4):
         self.offset_fg = offset_fg
         self.offset_bg = offset_bg
         self.offset_step_size = offset_step_size
         self.sigma = sigma
         self.last_offset_range = None
         self.depth_list = []
-        # dampening weights (reference :72-80)
-        self.count, self.init_w, self.ratio = 2, 0.3, 0.4
+        # dampening weights (reference :72-80; defaults are the reference's)
+        self.count = dampening_count
+        self.init_w = dampening_init
+        self.ratio = dampening_ratio
         t, acc = self.init_w, 0.0
         for _ in range(self.count):
             acc += t

@@ -280,3 +280,26 @@ def test_warp_random_config_sweep():
             f"trial {trial} (h={h} w={w} fg={fg:.4f} bg={bg:.4f} "
             f"step={step} tmax={tmax:.2f}): mismatch {mismatch}")
         assert np.abs(ours.astype(int) - ref.astype(int)).mean() < 0.5, trial
+
+
+def test_warp_random_dampening_sweep():
+    """Seeded fuzz over the temporal-dampening knobs (ratio / initial
+    value — count stays at the reference's 2, which the jax scan encodes
+    structurally): 3-frame sequences vs the oracle with matching weights."""
+    sweep = np.random.default_rng(606)
+    for trial in range(4):
+        init_w = float(sweep.uniform(0.05, 0.6))
+        ratio = float(sweep.uniform(0.1, 0.9))
+        cfg = StereoConfig(depth_dampening_initial_value=init_w,
+                           depth_dampening_ratio=ratio).normalized()
+        oracle = OracleSbs(dampening_init=init_w, dampening_ratio=ratio)
+        imgs = np.stack([synth_img(sweep) for _ in range(3)])
+        depths = np.stack([synth_depth(sweep, tmax=4.0 + 2 * i)
+                           for i in range(3)])
+        ref = np.stack([oracle.process(imgs[i], depths[i])
+                        for i in range(3)])
+        ours, _ = _run_jax_sequence(imgs, depths, cfg)
+        mismatch = (ours != ref).any(axis=-1).mean()
+        assert mismatch < 5e-3, (
+            f"trial {trial} (init={init_w:.3f} ratio={ratio:.3f}): "
+            f"mismatch {mismatch}")
