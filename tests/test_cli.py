@@ -182,3 +182,46 @@ def test_pipeline_process_stop_kills_process_group(tmp_path):
     else:
         os.kill(gpid, signal.SIGKILL)
         raise AssertionError("grandchild survived stop() — group kill failed")
+
+
+def test_cli_mesh_end_to_end(tmp_path):
+    """Full CLI drive of the SHARDED runtime: --mesh 2x1 over two virtual
+    CPU devices converts, subclips land, combine produces the double-width
+    output, and the post-combine count check prints. This is the scale-out
+    entry users of the reference's worker fleet would reach for
+    (PredictAndGenerate.py:273-321)."""
+    import os
+    import subprocess
+    import sys
+
+    import cv2
+    import numpy as np
+
+    video = tmp_path / "in.mp4"
+    w = cv2.VideoWriter(str(video), cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                        (64, 48))
+    rng = np.random.default_rng(3)
+    for _ in range(12):
+        w.write(rng.integers(0, 255, (48, 64, 3), dtype=np.uint8))
+    w.release()
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=2").strip()
+    out = tmp_path / "out.mkv"
+    p = subprocess.run(
+        [sys.executable, "-m", "vr_video_generator_tpu.cli",
+         "--VideoDir", str(video), "--OutputDir", str(out),
+         "--DebugDir", str(tmp_path / "Debug") + os.sep,
+         "--SubClipDir", str(tmp_path / "Subclip") + os.sep,
+         "--mesh", "2x1", "--Max_Frame_Count", "6", "--batch_size", "2",
+         "--input_size", "56", "--compute_dtype", "float32",
+         "--allow_random_weights"],
+        capture_output=True, text=True, timeout=900,
+        cwd=os.path.dirname(os.path.abspath(__file__)) + "/..", env=env)
+    assert p.returncode == 0, p.stdout[-2000:] + p.stderr[-2000:]
+    assert "difference: 0" in p.stdout
+    cap = cv2.VideoCapture(str(out))
+    assert (int(cap.get(cv2.CAP_PROP_FRAME_COUNT)),
+            int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))) == (12, 128)
