@@ -29,9 +29,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     from vr_video_generator_tpu.video.check import check_subclips
 
     if args.repair_mode == 0:
-        for issue in check_subclips(args.SubClipDir):
+        issues = check_subclips(args.SubClipDir)
+        for issue in issues:
             print(f"{issue.kind} issue on {issue.filename}: "
                   f"repair range {issue.repair_range}")
+        if not issues:
+            print(f"OK: no issues in {args.SubClipDir}")
         return 0
 
     from vr_video_generator_tpu.cli import parse_run_config
