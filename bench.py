@@ -191,7 +191,9 @@ def main() -> None:
     except RuntimeError as e:
         print(json.dumps({
             "metric": "backend_init_timeout", "value": 0.0,
-            "unit": "frames/s", "vs_baseline": 0.0, "error": str(e)}))
+            "unit": "frames/s", "vs_baseline": 0.0, "error": str(e),
+            "last_real_chip": "see committed BENCH_MATRIX_r03*.jsonl "
+                              "(real-TPU matrix) and docs/BENCHLOG.md"}))
         sys.exit(2)
     mesh_shape = None
     if args.sharded:

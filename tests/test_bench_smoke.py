@@ -65,3 +65,5 @@ def test_bench_exits_nonzero_on_init_timeout(tmp_path):
     line = json.loads(p.stdout.strip().splitlines()[-1])
     assert line["metric"] == "backend_init_timeout"
     assert line["value"] == 0.0 and "relay" in line["error"]
+    # the failure line points the reader at the last real-chip artifacts
+    assert "BENCH_MATRIX" in line["last_real_chip"]
