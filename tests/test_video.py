@@ -206,6 +206,98 @@ def test_combine_clips_cv2_fallback(tmp_path, monkeypatch):
     assert (n, w, h) == (9, W, H)
 
 
+class _FakeFfmpeg:
+    """Records every ffmpeg argv and scripts per-step return codes; creates
+    the step's output file on success so downstream os.replace/cleanup work
+    (no real ffmpeg binary exists on this host)."""
+
+    def __init__(self, rc):
+        self.rc = rc
+        self.calls = []
+
+    def classify(self, cmd):
+        if "concat" in cmd:
+            return "concat"
+        out = cmd[-1]
+        if out.endswith(".mka"):
+            return "audio"
+        if out.endswith(".mks"):
+            return "subs"
+        if any(a.endswith(".mks") for a in cmd[:-1]):
+            return "remux_subs"
+        return "remux"
+
+    def __call__(self, cmd, check=False, **kw):
+        import subprocess
+        from types import SimpleNamespace
+
+        self.calls.append(list(cmd))
+        kind = self.classify(cmd)
+        rc = self.rc.get(kind, 0)
+        if rc == 0:
+            with open(cmd[-1], "w") as f:
+                f.write(kind)
+        if check and rc != 0:
+            raise subprocess.CalledProcessError(rc, cmd)
+        return SimpleNamespace(returncode=rc)
+
+    def argv(self, kind):
+        return [c for c in self.calls if self.classify(c) == kind]
+
+
+def _combine_with_fake(tmp_path, monkeypatch, rc):
+    import vr_video_generator_tpu.video.combine as cmb
+
+    subdir = tmp_path / "sub"
+    subdir.mkdir()
+    (subdir / "0_4.mp4").write_bytes(b"clip")
+    fake = _FakeFfmpeg(rc)
+    monkeypatch.setattr(cmb, "find_binary", lambda name: "ffmpeg")
+    monkeypatch.setattr(cmb.subprocess, "run", fake)
+    out = tmp_path / "out.mkv"
+    cmb.combine_clips(str(subdir) + os.sep, str(tmp_path / "orig.mkv"),
+                      str(out), workdir=str(tmp_path))
+    return fake, out
+
+
+def test_combine_remux_carries_audio_and_subtitles(tmp_path, monkeypatch):
+    """Full-success path: one remux with the audio .mka AND subtitle .mks
+    side-cars mapped in (subtitle carry is a capability the reference's
+    Combine_Clips.py:19-42 lacks)."""
+    fake, out = _combine_with_fake(tmp_path, monkeypatch, rc={})
+    (remux,) = fake.argv("remux_subs")
+    assert remux[-5:] == ["-map", "2:s", "-c", "copy", str(out)]
+    assert ["-map", "0:v", "-map", "1:a"] == remux[-9:-5]
+    assert out.exists() and not fake.argv("remux")
+    # side-cars and concat temp are cleaned up afterwards
+    assert not list(tmp_path.glob("original_*")) and \
+        not (tmp_path / "temp_video.mkv").exists()
+
+
+def test_combine_remux_retries_without_subs(tmp_path, monkeypatch):
+    """If the output container rejects the subtitle copy, the combine retries
+    audio-only instead of failing."""
+    fake, out = _combine_with_fake(tmp_path, monkeypatch,
+                                   rc={"remux_subs": 1})
+    assert len(fake.argv("remux_subs")) == 1 and len(fake.argv("remux")) == 1
+    assert out.exists()
+
+
+def test_combine_subs_only_falls_back_to_plain_video(tmp_path, monkeypatch):
+    """No audio + failing subtitle remux degrades to the concat video."""
+    fake, out = _combine_with_fake(tmp_path, monkeypatch,
+                                   rc={"audio": 1, "remux_subs": 1})
+    assert out.exists() and out.read_text() == "concat"
+    assert not fake.argv("remux")
+
+
+def test_combine_no_audio_no_subs_skips_remux(tmp_path, monkeypatch):
+    fake, out = _combine_with_fake(tmp_path, monkeypatch,
+                                   rc={"audio": 1, "subs": 1})
+    assert out.exists() and out.read_text() == "concat"
+    assert not fake.argv("remux") and not fake.argv("remux_subs")
+
+
 @pytest.mark.slow
 def test_cli_end_to_end(tmp_path, monkeypatch):
     """Full conversion on a tiny clip with random vits weights at a reduced

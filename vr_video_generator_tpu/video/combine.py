@@ -1,8 +1,9 @@
 """Subclip concatenation + audio remux — parity with reference Combine_Clips.py.
 
 ffmpeg path: concat demuxer with stream copy, extract every audio track from
-the original to .mka, remux (reference Combine_Clips.py:19-42). cv2 fallback
-(no ffmpeg binary): re-encode concat, video only.
+the original to .mka, remux (reference Combine_Clips.py:19-42); soft subtitle
+tracks are carried too (a capability the reference lacks — it drops them).
+cv2 fallback (no ffmpeg binary): re-encode concat, video only.
 """
 
 from __future__ import annotations
@@ -46,17 +47,44 @@ def combine_clips(subclip_dir: str, original_path: str, output_path: str,
             os.remove(file_list_path)
             return 0
         audio_path = os.path.join(workdir, "original_audio.mka")
+        subs_path = os.path.join(workdir, "original_subs.mks")
         has_audio = subprocess.run(
             [ffmpeg, "-y", "-i", original_path, "-map", "0:a", "-c:a", "copy",
              audio_path]).returncode == 0
-        if has_audio:
-            subprocess.run([ffmpeg, "-y", "-i", temp_video, "-i", audio_path,
-                            "-map", "0:v", "-map", "1:a",
-                            "-c:v", "copy", "-c:a", "copy", output_path],
-                           check=True)
+        # Capability win over the reference (Combine_Clips.py:19-42 remuxes
+        # audio only): soft subtitle tracks ride along too, via a Matroska
+        # side-car. If the output container rejects the subtitle copy
+        # (e.g. .mp4 + srt), retry without subtitles instead of failing.
+        has_subs = subprocess.run(
+            [ffmpeg, "-y", "-i", original_path, "-map", "0:s", "-c:s", "copy",
+             subs_path]).returncode == 0
+
+        def _remux(with_subs: bool) -> int:
+            cmd = [ffmpeg, "-y", "-i", temp_video]
+            maps = ["-map", "0:v"]
+            idx = 1
+            if has_audio:
+                cmd += ["-i", audio_path]
+                maps += ["-map", f"{idx}:a"]
+                idx += 1
+            if with_subs:
+                cmd += ["-i", subs_path]
+                maps += ["-map", f"{idx}:s"]
+            cmd += maps + ["-c", "copy", output_path]
+            return subprocess.run(cmd).returncode
+
+        if has_audio or has_subs:
+            rc = _remux(has_subs)
+            if rc != 0 and has_subs and has_audio:
+                rc = _remux(False)
+            if rc != 0 and has_subs and not has_audio:
+                os.replace(temp_video, output_path)
+                rc = 0
+            if rc != 0:
+                raise subprocess.CalledProcessError(rc, "ffmpeg remux")
         else:
             os.replace(temp_video, output_path)
-        for p in (temp_video, audio_path, file_list_path):
+        for p in (temp_video, audio_path, subs_path, file_list_path):
             try:
                 os.remove(p)
             except OSError:
