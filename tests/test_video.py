@@ -266,8 +266,11 @@ def test_combine_remux_carries_audio_and_subtitles(tmp_path, monkeypatch):
     Combine_Clips.py:19-42 lacks)."""
     fake, out = _combine_with_fake(tmp_path, monkeypatch, rc={})
     (remux,) = fake.argv("remux_subs")
-    assert remux[-5:] == ["-map", "2:s", "-c", "copy", str(out)]
-    assert ["-map", "0:v", "-map", "1:a"] == remux[-9:-5]
+    # the original rides along as the last input for metadata/chapters
+    assert str(tmp_path / "orig.mkv") in remux
+    assert remux[-9:] == ["-map", "2:s", "-map_metadata", "3",
+                          "-map_chapters", "3", "-c", "copy", str(out)]
+    assert ["-map", "0:v", "-map", "1:a"] == remux[-13:-9]
     assert out.exists() and not fake.argv("remux")
     # side-cars and concat temp are cleaned up afterwards
     assert not list(tmp_path.glob("original_*")) and \
@@ -280,6 +283,9 @@ def test_combine_remux_retries_without_subs(tmp_path, monkeypatch):
     fake, out = _combine_with_fake(tmp_path, monkeypatch,
                                    rc={"remux_subs": 1})
     assert len(fake.argv("remux_subs")) == 1 and len(fake.argv("remux")) == 1
+    (retry,) = fake.argv("remux")
+    assert retry[-11:-3] == ["-map", "0:v", "-map", "1:a",
+                             "-map_metadata", "2", "-map_chapters", "2"]
     assert out.exists()
 
 

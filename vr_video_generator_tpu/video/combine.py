@@ -70,6 +70,11 @@ def combine_clips(subclip_dir: str, original_path: str, output_path: str,
             if with_subs:
                 cmd += ["-i", subs_path]
                 maps += ["-map", f"{idx}:s"]
+                idx += 1
+            # global metadata + chapters from the original (no-ops when the
+            # source has none) — the reference's remux drops both
+            cmd += ["-i", original_path]
+            maps += ["-map_metadata", str(idx), "-map_chapters", str(idx)]
             cmd += maps + ["-c", "copy", output_path]
             return subprocess.run(cmd).returncode
 
