@@ -205,11 +205,15 @@ def test_cli_mesh_end_to_end(tmp_path):
         w.write(rng.integers(0, 255, (48, 64, 3), dtype=np.uint8))
     w.release()
 
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
                         + " --xla_force_host_platform_device_count=2").strip()
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     out = tmp_path / "out.mkv"
+    # cwd=tmp_path so combine's temp files (input_list.txt, temp_video.mkv,
+    # side-cars) land in the test dir, not the repo checkout
     p = subprocess.run(
         [sys.executable, "-m", "vr_video_generator_tpu.cli",
          "--VideoDir", str(video), "--OutputDir", str(out),
@@ -219,7 +223,7 @@ def test_cli_mesh_end_to_end(tmp_path):
          "--input_size", "56", "--compute_dtype", "float32",
          "--allow_random_weights"],
         capture_output=True, text=True, timeout=900,
-        cwd=os.path.dirname(os.path.abspath(__file__)) + "/..", env=env)
+        cwd=str(tmp_path), env=env)
     assert p.returncode == 0, p.stdout[-2000:] + p.stderr[-2000:]
     assert "difference: 0" in p.stdout
     cap = cv2.VideoCapture(str(out))

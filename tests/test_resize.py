@@ -236,9 +236,13 @@ def test_preprocess_folded_random_size_sweep():
     import jax.numpy as jnp
 
     sweep = np.random.default_rng(9)
-    for trial in range(5):
-        h = int(sweep.integers(40, 400))
-        w = int(sweep.integers(40, 500))
+    for trial in range(8):
+        if trial < 4:  # upscale side of the 518 network target
+            h = int(sweep.integers(40, 400))
+            w = int(sweep.integers(40, 500))
+        else:  # downscale side — the branch real 720p/1080p frames hit
+            h = int(sweep.integers(560, 1200))
+            w = int(sweep.integers(560, 2000))
         frame = sweep.integers(0, 256, (h, w, 3), dtype=np.uint8)
         net_hw = network_input_size(h, w)
         exact = np.asarray(preprocess_frames(frame, net_hw,

@@ -239,7 +239,7 @@ class _FakeFfmpeg:
                 f.write(kind)
         if check and rc != 0:
             raise subprocess.CalledProcessError(rc, cmd)
-        return SimpleNamespace(returncode=rc)
+        return SimpleNamespace(returncode=rc, args=list(cmd))
 
     def argv(self, kind):
         return [c for c in self.calls if self.classify(c) == kind]
@@ -277,9 +277,9 @@ def test_combine_remux_carries_audio_and_subtitles(tmp_path, monkeypatch):
         not (tmp_path / "temp_video.mkv").exists()
 
 
-def test_combine_remux_retries_without_subs(tmp_path, monkeypatch):
+def test_combine_remux_retries_without_subs(tmp_path, monkeypatch, capsys):
     """If the output container rejects the subtitle copy, the combine retries
-    audio-only instead of failing."""
+    audio-only instead of failing — and says so."""
     fake, out = _combine_with_fake(tmp_path, monkeypatch,
                                    rc={"remux_subs": 1})
     assert len(fake.argv("remux_subs")) == 1 and len(fake.argv("remux")) == 1
@@ -287,21 +287,57 @@ def test_combine_remux_retries_without_subs(tmp_path, monkeypatch):
     assert retry[-11:-3] == ["-map", "0:v", "-map", "1:a",
                              "-map_metadata", "2", "-map_chapters", "2"]
     assert out.exists()
+    assert "subtitle tracks dropped" in capsys.readouterr().out
 
 
-def test_combine_subs_only_falls_back_to_plain_video(tmp_path, monkeypatch):
-    """No audio + failing subtitle remux degrades to the concat video."""
+def test_combine_subs_only_retry_still_carries_metadata(tmp_path, monkeypatch):
+    """No audio + failing subtitle remux retries metadata-only (the concat
+    video would lose the original's global metadata and chapters)."""
     fake, out = _combine_with_fake(tmp_path, monkeypatch,
                                    rc={"audio": 1, "remux_subs": 1})
-    assert out.exists() and out.read_text() == "concat"
-    assert not fake.argv("remux")
+    (retry,) = fake.argv("remux")
+    assert retry[-9:-3] == ["-map", "0:v",
+                            "-map_metadata", "1", "-map_chapters", "1"]
+    assert out.exists() and out.read_text() == "remux"
 
 
-def test_combine_no_audio_no_subs_skips_remux(tmp_path, monkeypatch):
+def test_combine_video_only_source_still_remuxes_metadata(tmp_path,
+                                                          monkeypatch):
+    """A source with no audio and no subtitles (e.g. a chaptered video-only
+    mkv) still gets the metadata/chapters remux instead of a bare rename."""
     fake, out = _combine_with_fake(tmp_path, monkeypatch,
                                    rc={"audio": 1, "subs": 1})
+    (remux,) = fake.argv("remux")
+    assert remux[-9:-3] == ["-map", "0:v",
+                            "-map_metadata", "1", "-map_chapters", "1"]
+    assert out.exists() and out.read_text() == "remux"
+    assert not fake.argv("remux_subs")
+
+
+def test_combine_metadata_remux_failure_degrades_to_concat(tmp_path,
+                                                           monkeypatch,
+                                                           capsys):
+    """Video-only source whose metadata remux fails falls back to the plain
+    concat output with a warning (no audio to lose -> not a hard failure)."""
+    fake, out = _combine_with_fake(tmp_path, monkeypatch,
+                                   rc={"audio": 1, "subs": 1, "remux": 1})
     assert out.exists() and out.read_text() == "concat"
-    assert not fake.argv("remux") and not fake.argv("remux_subs")
+    assert "metadata remux failed" in capsys.readouterr().out
+
+
+def test_combine_audio_remux_failure_raises_with_argv_and_cleans(tmp_path,
+                                                                 monkeypatch):
+    """Losing audio is a hard failure: the raise carries the actual failing
+    ffmpeg argv, and the side-car temps are still cleaned up."""
+    import subprocess as sp
+
+    with pytest.raises(sp.CalledProcessError) as ei:
+        _combine_with_fake(tmp_path, monkeypatch,
+                           rc={"subs": 1, "remux": 1})
+    assert "-map_chapters" in ei.value.cmd  # real argv, not a placeholder
+    leftovers = [p.name for p in tmp_path.iterdir()
+                 if p.name.startswith(("temp_video", "original_", "input_"))]
+    assert leftovers == []
 
 
 @pytest.mark.slow

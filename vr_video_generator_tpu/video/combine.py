@@ -14,6 +14,7 @@ from typing import List
 
 import cv2
 
+from vr_video_generator_tpu.utils.logging import print_flush
 from vr_video_generator_tpu.video.reader import find_binary, probe_video
 
 
@@ -35,65 +36,74 @@ def combine_clips(subclip_dir: str, original_path: str, output_path: str,
 
     if ffmpeg:
         file_list_path = os.path.join(workdir, "input_list.txt")
-        with open(file_list_path, "w+") as f:
-            for name in clips:
-                f.write(f"file '{os.path.abspath(os.path.join(subclip_dir, name))}'\n")
         temp_video = os.path.join(workdir, "temp_video.mkv")
-        subprocess.run([ffmpeg, "-f", "concat", "-safe", "0", "-y",
-                        "-i", file_list_path, "-c", "copy", temp_video],
-                       check=True)
-        if just_combine == 1:
-            os.replace(temp_video, output_path)
-            os.remove(file_list_path)
-            return 0
         audio_path = os.path.join(workdir, "original_audio.mka")
         subs_path = os.path.join(workdir, "original_subs.mks")
-        has_audio = subprocess.run(
-            [ffmpeg, "-y", "-i", original_path, "-map", "0:a", "-c:a", "copy",
-             audio_path]).returncode == 0
-        # Capability win over the reference (Combine_Clips.py:19-42 remuxes
-        # audio only): soft subtitle tracks ride along too, via a Matroska
-        # side-car. If the output container rejects the subtitle copy
-        # (e.g. .mp4 + srt), retry without subtitles instead of failing.
-        has_subs = subprocess.run(
-            [ffmpeg, "-y", "-i", original_path, "-map", "0:s", "-c:s", "copy",
-             subs_path]).returncode == 0
-
-        def _remux(with_subs: bool) -> int:
-            cmd = [ffmpeg, "-y", "-i", temp_video]
-            maps = ["-map", "0:v"]
-            idx = 1
-            if has_audio:
-                cmd += ["-i", audio_path]
-                maps += ["-map", f"{idx}:a"]
-                idx += 1
-            if with_subs:
-                cmd += ["-i", subs_path]
-                maps += ["-map", f"{idx}:s"]
-                idx += 1
-            # global metadata + chapters from the original (no-ops when the
-            # source has none) — the reference's remux drops both
-            cmd += ["-i", original_path]
-            maps += ["-map_metadata", str(idx), "-map_chapters", str(idx)]
-            cmd += maps + ["-c", "copy", output_path]
-            return subprocess.run(cmd).returncode
-
-        if has_audio or has_subs:
-            rc = _remux(has_subs)
-            if rc != 0 and has_subs and has_audio:
-                rc = _remux(False)
-            if rc != 0 and has_subs and not has_audio:
+        try:
+            with open(file_list_path, "w+") as f:
+                for name in clips:
+                    f.write(f"file '{os.path.abspath(os.path.join(subclip_dir, name))}'\n")
+            subprocess.run([ffmpeg, "-f", "concat", "-safe", "0", "-y",
+                            "-i", file_list_path, "-c", "copy", temp_video],
+                           check=True)
+            if just_combine == 1:
                 os.replace(temp_video, output_path)
-                rc = 0
-            if rc != 0:
-                raise subprocess.CalledProcessError(rc, "ffmpeg remux")
-        else:
-            os.replace(temp_video, output_path)
-        for p in (temp_video, audio_path, subs_path, file_list_path):
-            try:
-                os.remove(p)
-            except OSError:
-                pass
+                return 0
+            has_audio = subprocess.run(
+                [ffmpeg, "-y", "-i", original_path, "-map", "0:a", "-c:a",
+                 "copy", audio_path]).returncode == 0
+            # Capability win over the reference (Combine_Clips.py:19-42
+            # remuxes audio only): soft subtitle tracks ride along too, via a
+            # Matroska side-car. If the output container rejects the subtitle
+            # copy (e.g. .mp4 + srt), retry without subtitles instead of
+            # failing.
+            has_subs = subprocess.run(
+                [ffmpeg, "-y", "-i", original_path, "-map", "0:s", "-c:s",
+                 "copy", subs_path]).returncode == 0
+
+            def _remux(with_subs: bool) -> "subprocess.CompletedProcess":
+                cmd = [ffmpeg, "-y", "-i", temp_video]
+                maps = ["-map", "0:v"]
+                idx = 1
+                if has_audio:
+                    cmd += ["-i", audio_path]
+                    maps += ["-map", f"{idx}:a"]
+                    idx += 1
+                if with_subs:
+                    cmd += ["-i", subs_path]
+                    maps += ["-map", f"{idx}:s"]
+                    idx += 1
+                # global metadata + chapters from the original (no-ops when
+                # the source has none) — the reference's remux drops both
+                cmd += ["-i", original_path]
+                maps += ["-map_metadata", str(idx), "-map_chapters", str(idx)]
+                cmd += maps + ["-c", "copy", output_path]
+                return subprocess.run(cmd)
+
+            # Remux even for video-only sources so global metadata and
+            # chapters always carry.
+            proc = _remux(has_subs)
+            if proc.returncode != 0 and has_subs:
+                proc = _remux(False)
+                if proc.returncode == 0:
+                    print_flush("WARNING: output container rejected the "
+                                "subtitle copy; subtitle tracks dropped "
+                                "(use a .mkv output to keep them)")
+            if proc.returncode != 0:
+                if has_audio:
+                    # losing audio is a hard failure (reference parity);
+                    # keep the failing argv for diagnostics
+                    raise subprocess.CalledProcessError(proc.returncode,
+                                                        proc.args)
+                print_flush("WARNING: metadata remux failed; output carries "
+                            "the combined video only")
+                os.replace(temp_video, output_path)
+        finally:
+            for p in (temp_video, audio_path, subs_path, file_list_path):
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
         return 0
 
     # cv2 fallback: re-encode concat, no audio.
@@ -123,8 +133,6 @@ def verify_frame_count(original_path: str, output_path: str,
     _, n_orig, _, _ = probe_video(original_path)
     _, n_out, _, _ = probe_video(output_path)
     if verbose:
-        from vr_video_generator_tpu.utils.logging import print_flush
-
         print_flush("These frames count should be the same")
         print_flush(f"Original: {n_orig} output: {n_out}, "
                     f"difference: {abs(n_out - n_orig)}")
