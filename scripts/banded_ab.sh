@@ -9,6 +9,9 @@
 # one interleaved pass at the end.
 set -e
 cd "$(dirname "$0")/.."
+# scripts/*.py put scripts/ (not the repo root) on sys.path[0]; make the
+# package importable regardless of the caller's environment
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 for rep in 1 2; do
   for banded in 1 0; do
     echo "=== rep $rep banded=$banded stage_bench ==="

@@ -13,6 +13,7 @@
 # Safe to re-run; every step is read-only except the two matrix files.
 set -e
 cd "$(dirname "$0")/.."
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 # the outage workaround (JAX_PLATFORMS=cpu) must NOT leak into the real
 # measurements — bench/stage_bench honor it and would silently produce
 # CPU-smoke numbers in the committed matrix artifacts

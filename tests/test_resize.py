@@ -144,9 +144,10 @@ def test_banded_plan_gate_and_exactness(rng):
     assert _banded_plan(cubic_weights(37, 66, align_corners=False)) is None
 
     # banded vs dense: same numbers up to reduction-order noise
+    # (banded=True pins the opt-in blocked path regardless of the env default)
     x = jnp.asarray(rng.random((2, 518, 31), dtype=np.float32))
     banded = _apply_axis(x, w, 1, "o", jnp.float32,
-                         jax.lax.Precision.HIGH)
+                         jax.lax.Precision.HIGH, banded=True)
     dense = jnp.einsum("abc,ob->aoc", x, jnp.asarray(w, jnp.float32),
                        precision=jax.lax.Precision.HIGH)
     assert banded.shape == (2, 1080, 31)
@@ -154,7 +155,7 @@ def test_banded_plan_gate_and_exactness(rng):
                                rtol=0, atol=1e-5)
 
 
-def test_banded_resize_under_sharded_batch(rng):
+def test_banded_resize_under_sharded_batch(rng, monkeypatch):
     """The banded-blocked apply partitions cleanly when the batch axis is
     sharded over the mesh (how every pipeline resize runs under shard_map's
     data axis): sharded output == single-device output up to reduction-order
@@ -166,10 +167,13 @@ def test_banded_resize_under_sharded_batch(rng):
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+    from vr_video_generator_tpu.ops import resize
     from vr_video_generator_tpu.ops.resize import (_banded_plan,
                                                    cubic_weights,
                                                    resize_bicubic)
 
+    # pin the opt-in blocked path on (the production default is dense)
+    monkeypatch.setattr(resize, "_BANDED_ENABLED", True)
     assert _banded_plan(cubic_weights(518, 1080, align_corners=False)) \
         is not None  # the path under test is actually engaged
 
@@ -219,7 +223,7 @@ def test_banded_vs_dense_random_shape_sweep():
         engaged += 1
         x = jnp.asarray(sweep.random((2, n_in, 5), dtype=np.float32))
         banded = _apply_axis(x, w, 1, "o", jnp.float32,
-                             jax.lax.Precision.HIGH)
+                             jax.lax.Precision.HIGH, banded=True)
         dense = jnp.einsum("abc,ob->aoc", x, jnp.asarray(w, jnp.float32),
                            precision=jax.lax.Precision.HIGH)
         assert banded.shape == (2, n_out, 5), trial

@@ -171,10 +171,15 @@ _LETTERS = "abcdefghijklmn"
 
 _BANDED_BLOCK = 128  # output rows per banded block (one MXU tile)
 
-# A/B knob for controlled chip measurements (day drift makes cross-run
-# comparisons meaningless — docs/BENCHLOG.md): VRVG_BANDED_RESIZE=0 forces
-# the dense einsums everywhere.
-_BANDED_ENABLED = os.environ.get("VRVG_BANDED_RESIZE", "1") != "0"
+# Measured same-hour interleaved A/B on the attached TPU (2026-08-18,
+# docs/BENCHLOG.md "Banded-blocked resize"): banded wins the isolated
+# endpoint upsample (~0.41 vs ~0.50 ms/frame) but loses end-to-end on both
+# tested configs (config 2: 191-193 vs 195.6 fps; config 5: 31.3 vs 32.2)
+# — the stacked per-block slices cost HBM copies XLA's fused dense einsum
+# avoids, and the head-tail x14 resize (tiny n_in) regresses outright.
+# Default is therefore the dense einsums; VRVG_BANDED_RESIZE=1 re-enables
+# the blocked form for controlled measurements.
+_BANDED_ENABLED = os.environ.get("VRVG_BANDED_RESIZE", "0") != "0"
 
 
 def _banded_plan(w: np.ndarray, block: int = _BANDED_BLOCK):
@@ -209,11 +214,15 @@ def _banded_plan(w: np.ndarray, block: int = _BANDED_BLOCK):
 
 
 def _apply_axis(x: jnp.ndarray, w: np.ndarray, axis: int, out_ch: str,
-                compute, precision) -> jnp.ndarray:
-    """One (n_out, n_in) weight matrix along ``axis`` of ``x`` — banded-blocked
-    when the band structure makes it cheaper, dense einsum otherwise."""
+                compute, precision, banded: Optional[bool] = None
+                ) -> jnp.ndarray:
+    """One (n_out, n_in) weight matrix along ``axis`` of ``x`` — dense einsum
+    by default; the blocked-banded form when requested (``banded=True`` or
+    the VRVG_BANDED_RESIZE=1 opt-in) AND the band structure saves work."""
     src = _LETTERS[:x.ndim]
-    plan = _banded_plan(w) if _BANDED_ENABLED else None
+    if banded is None:
+        banded = _BANDED_ENABLED
+    plan = _banded_plan(w) if banded else None
     if plan is None:
         out = src.replace(src[axis], out_ch)
         return jnp.einsum(f"{src},{out_ch}{src[axis]}->{out}", x,
