@@ -22,6 +22,7 @@ import threading
 from typing import Callable, Optional
 
 _done_event: Optional[threading.Event] = None
+_init_error: Optional[BaseException] = None
 _lock = threading.Lock()
 
 
@@ -70,8 +71,17 @@ def watch_backend_init(
     warn_fn = warn or _default_warn
 
     def _probe_thread() -> None:
+        global _init_error
         try:
             probe_fn()
+        except BaseException as e:  # noqa: BLE001 — diagnosed, not swallowed:
+            # a fast init failure is a *result*; the caller's own first
+            # device touch will raise the same error with a full traceback.
+            # Re-raising here would only crash a daemon thread (and trip
+            # pytest's unhandled-thread-exception warning).
+            _init_error = e
+            print(f"[devwatch] backend init probe failed: {e!r}",
+                  file=sys.stderr, flush=True)
         finally:
             done.set()
 
