@@ -209,7 +209,8 @@ def test_combine_clips_cv2_fallback(tmp_path, monkeypatch):
 class _FakeFfmpeg:
     """Records every ffmpeg argv and scripts per-step return codes; creates
     the step's output file on success so downstream os.replace/cleanup work
-    (no real ffmpeg binary exists on this host)."""
+    (no real ffmpeg binary exists on this host). An rc value may be a list,
+    consumed one call at a time (for retry chains within one kind)."""
 
     def __init__(self, rc):
         self.rc = rc
@@ -234,6 +235,8 @@ class _FakeFfmpeg:
         self.calls.append(list(cmd))
         kind = self.classify(cmd)
         rc = self.rc.get(kind, 0)
+        if isinstance(rc, list):
+            rc = rc.pop(0) if rc else 0
         if rc == 0:
             with open(cmd[-1], "w") as f:
                 f.write(kind)
@@ -245,7 +248,10 @@ class _FakeFfmpeg:
         return [c for c in self.calls if self.classify(c) == kind]
 
 
-def _combine_with_fake(tmp_path, monkeypatch, rc):
+def _combine_with_fake(tmp_path, monkeypatch, rc, probe=None,
+                       out_name="out.mkv"):
+    """probe: what _probe_original reports (None = ffprobe unavailable,
+    the conservative carry-everything default this host exercises)."""
     import vr_video_generator_tpu.video.combine as cmb
 
     subdir = tmp_path / "sub"
@@ -254,7 +260,8 @@ def _combine_with_fake(tmp_path, monkeypatch, rc):
     fake = _FakeFfmpeg(rc)
     monkeypatch.setattr(cmb, "find_binary", lambda name: "ffmpeg")
     monkeypatch.setattr(cmb.subprocess, "run", fake)
-    out = tmp_path / "out.mkv"
+    monkeypatch.setattr(cmb, "_probe_original", lambda path: probe)
+    out = tmp_path / out_name
     cmb.combine_clips(str(subdir) + os.sep, str(tmp_path / "orig.mkv"),
                       str(out), workdir=str(tmp_path))
     return fake, out
@@ -274,7 +281,7 @@ def test_combine_remux_carries_audio_and_subtitles(tmp_path, monkeypatch):
     assert out.exists() and not fake.argv("remux")
     # side-cars and concat temp are cleaned up afterwards
     assert not list(tmp_path.glob("original_*")) and \
-        not (tmp_path / "temp_video.mkv").exists()
+        not list(tmp_path.glob("temp_video*"))
 
 
 def test_combine_remux_retries_without_subs(tmp_path, monkeypatch, capsys):
@@ -338,6 +345,114 @@ def test_combine_audio_remux_failure_raises_with_argv_and_cleans(tmp_path,
     leftovers = [p.name for p in tmp_path.iterdir()
                  if p.name.startswith(("temp_video", "original_", "input_"))]
     assert leftovers == []
+
+
+def test_concat_entry_escapes_quotes():
+    """The concat demuxer parses `file '<path>'` with shell-style quoting —
+    a path containing an apostrophe must use the close-escape-reopen form or
+    the entry truncates at the quote."""
+    from vr_video_generator_tpu.video.combine import _concat_entry
+
+    assert _concat_entry("/a/plain/path.mp4") == "file '/a/plain/path.mp4'\n"
+    assert _concat_entry("/home/O'Brien/0_4.mp4") == \
+        "file '/home/O'\\''Brien/0_4.mp4'\n"
+
+
+def test_combine_in_place_output_stages_then_replaces(tmp_path, monkeypatch):
+    """output == original (overwrite-in-place): ffmpeg refuses same-file
+    input/output, so the remux must write a staged sibling and replace the
+    original only afterwards."""
+    (tmp_path / "orig.mkv").write_bytes(b"original")
+    fake, out = _combine_with_fake(tmp_path, monkeypatch, rc={},
+                                   out_name="orig.mkv")
+    (remux,) = fake.argv("remux_subs")
+    assert remux[-1] != str(out)  # wrote a staged temp, not the original
+    assert os.path.basename(remux[-1]).endswith("orig.mkv")
+    assert out.read_text() == "remux_subs"  # ...then replaced over it
+    assert [p.name for p in tmp_path.iterdir()
+            if p.name.startswith(".combine_")] == []
+
+
+def test_combine_probe_empty_source_skips_remux(tmp_path, monkeypatch):
+    """When ffprobe proves the original has no audio, no subtitles, no
+    chapters, and no non-boilerplate tags, the combine keeps the O(1)
+    rename instead of rewriting the whole container."""
+    probe = {"audio": 0, "subs": 0, "chapters": 0, "tags": False}
+    fake, out = _combine_with_fake(tmp_path, monkeypatch, rc={}, probe=probe)
+    assert out.read_text() == "concat"  # temp_video renamed, no remux
+    assert not fake.argv("remux") and not fake.argv("remux_subs")
+    assert not fake.argv("audio") and not fake.argv("subs")  # not attempted
+
+
+def test_combine_probe_chapters_force_remux(tmp_path, monkeypatch):
+    """A chaptered but audio-less/sub-less source still pays the metadata
+    remux — chapters must carry."""
+    probe = {"audio": 0, "subs": 0, "chapters": 3, "tags": False}
+    fake, out = _combine_with_fake(tmp_path, monkeypatch, rc={}, probe=probe)
+    (remux,) = fake.argv("remux")
+    assert remux[-9:-3] == ["-map", "0:v",
+                            "-map_metadata", "1", "-map_chapters", "1"]
+    assert out.read_text() == "remux"
+
+
+def test_combine_probed_audio_extraction_failure_is_hard(tmp_path,
+                                                         monkeypatch):
+    """If ffprobe says audio streams exist but extraction fails, emitting a
+    silent output would be quiet data loss — must raise."""
+    probe = {"audio": 2, "subs": 0, "chapters": 0, "tags": False}
+    with pytest.raises(RuntimeError, match="audio stream"):
+        _combine_with_fake(tmp_path, monkeypatch, rc={"audio": 1},
+                           probe=probe)
+
+
+def test_combine_subs_srt_transcode_fallback(tmp_path, monkeypatch, capsys):
+    """Subtitle codecs Matroska rejects as-is (e.g. mp4 mov_text) get a
+    second extraction attempt transcoding to SRT — and a note says so."""
+    probe = {"audio": 1, "subs": 1, "chapters": 0, "tags": False}
+    fake, out = _combine_with_fake(tmp_path, monkeypatch,
+                                   rc={"subs": [1, 0]}, probe=probe)
+    subs_calls = fake.argv("subs")
+    assert len(subs_calls) == 2
+    assert ["-c:s", "copy"] == subs_calls[0][-3:-1]
+    assert ["-c:s", "srt"] == subs_calls[1][-3:-1]
+    assert fake.argv("remux_subs") and out.exists()
+    assert "transcoded to SRT" in capsys.readouterr().out
+
+
+def test_combine_unextractable_subs_warn(tmp_path, monkeypatch, capsys):
+    """Probed subtitle streams that survive neither copy nor SRT transcode
+    are dropped WITH a warning (silent loss contradicted the docs)."""
+    probe = {"audio": 1, "subs": 1, "chapters": 0, "tags": False}
+    fake, out = _combine_with_fake(tmp_path, monkeypatch,
+                                   rc={"subs": [1, 1]}, probe=probe)
+    assert len(fake.argv("subs")) == 2 and not fake.argv("remux_subs")
+    assert out.exists()
+    assert "could not be extracted" in capsys.readouterr().out
+
+
+def test_combine_default_workdir_is_output_dir(tmp_path, monkeypatch):
+    """No workdir argument: temps land beside the output (always writable),
+    not in the process cwd — a read-only cwd must not break the combine."""
+    import vr_video_generator_tpu.video.combine as cmb
+
+    subdir = tmp_path / "sub"
+    subdir.mkdir()
+    (subdir / "0_4.mp4").write_bytes(b"clip")
+    outdir = tmp_path / "outdir"
+    outdir.mkdir()
+    fake = _FakeFfmpeg({})
+    monkeypatch.setattr(cmb, "find_binary", lambda name: "ffmpeg")
+    monkeypatch.setattr(cmb.subprocess, "run", fake)
+    monkeypatch.setattr(cmb, "_probe_original", lambda path: None)
+    monkeypatch.chdir(tmp_path)  # cwd != output dir
+    cmb.combine_clips(str(subdir) + os.sep, str(tmp_path / "orig.mkv"),
+                      str(outdir / "out.mkv"))
+    (concat,) = fake.argv("concat")
+    list_path = concat[concat.index("-i") + 1]
+    assert os.path.dirname(list_path) == str(outdir)
+    assert (outdir / "out.mkv").exists()
+    assert [p.name for p in tmp_path.iterdir()
+            if p.name.startswith(("temp_video", "original_", "input_"))] == []
 
 
 @pytest.mark.slow
