@@ -252,3 +252,59 @@ def test_run_reports_post_combine_frame_count(env, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert "These frames count should be the same" in out
     assert "Original: 12 output: 12, difference: 0" in out
+
+
+def test_check_and_repair_builds_one_pipeline_for_all_ranges(env, monkeypatch):
+    """Without a prebuilt pipeline, check_and_repair must build ONE pipeline
+    lazily and reuse it across every broken range — its real entry point
+    (checktool) passes none, and each range used to re-load and re-jit the
+    model."""
+    cfg, pipeline = env
+    orchestrator.convert_range(cfg, 0, 12, pipeline=pipeline)
+    # two independent broken ranges: a corrupt clip + an interior gap
+    # (head/tail deletions are out of the checker's contract)
+    with open(os.path.join(cfg.subclip_dir, "0_3.mp4"), "wb") as f:
+        f.write(b"\x00corrupt")
+    os.remove(os.path.join(cfg.subclip_dir, "4_7.mp4"))
+
+    builds = []
+
+    def counting_create(cls, *a, **k):
+        builds.append(1)
+        return pipeline  # fixture pipeline: same cfg and geometry
+
+    monkeypatch.setattr(orchestrator.SbsPipeline, "create",
+                        classmethod(counting_create))
+    issues = orchestrator.check_and_repair(cfg, repair=True, allow_random=True)
+    assert len(issues) == 2
+    assert builds == [1]
+    assert check_subclips(cfg.subclip_dir) == []
+
+
+def test_convert_range_rejects_non_single_chip_pipeline(env):
+    """A ShardedSbsPipeline (or anything else) fed to the single-chip loop
+    would reinterpret the batch as n_data separate temporal segments —
+    refuse loudly."""
+    cfg, _ = env
+    with pytest.raises(TypeError, match="single-chip"):
+        orchestrator.convert_range(cfg, 0, 4, pipeline=object())
+
+
+def test_combine_only_modes_skip_backend_probe(env, monkeypatch):
+    """repair_mode 2/3 are pure ffmpeg/cv2 host work: run() must not kick
+    the JAX backend-init probe (on a TPU host that would contend for — or
+    hang on — the device just to concatenate files)."""
+    import dataclasses
+
+    from vr_video_generator_tpu.utils import devwatch
+
+    cfg, pipeline = env
+    orchestrator.convert_range(cfg, 0, 12, pipeline=pipeline)
+    probes = []
+    monkeypatch.setattr(devwatch, "watch_backend_init",
+                        lambda *a, **k: probes.append(1))
+    orchestrator.run(dataclasses.replace(cfg, repair_mode=2),
+                     allow_random=True)
+    assert probes == []
+    _, frames, w, h = probe_video(cfg.output_dir)
+    assert (frames, w, h) == (12, 2 * W, H)

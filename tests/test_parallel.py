@@ -153,3 +153,38 @@ def test_sharded_with_fused_kernels_matches_single(rng):
                              single.initial_state())
         np.testing.assert_array_equal(np.asarray(sbs)[slot * 2:(slot + 1) * 2],
                                       np.asarray(ref))
+
+
+def test_slot_ownership_check_rejects_partial_ownership(monkeypatch):
+    """Multi-host feeding is host-local (step_local furnishes only this
+    process's data shards), which requires every process to own
+    n_data/process_count whole slots. A mesh violating that (data=1 over 2
+    processes: the slot's devices span hosts) must be refused loudly at
+    construction instead of deadlocking inside
+    make_array_from_process_local_data."""
+    import jax
+    import pytest
+
+    from vr_video_generator_tpu.parallel.sharded import ShardedSbsPipeline
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+
+    class Spanning:
+        n_data = 1
+        local_slots = [0]
+
+    with pytest.raises(ValueError, match="multiple of the process count"):
+        ShardedSbsPipeline._check_slot_ownership(Spanning())
+
+    class Uneven:  # 3 slots over 2 processes
+        n_data = 3
+        local_slots = [0, 1]
+
+    with pytest.raises(ValueError):
+        ShardedSbsPipeline._check_slot_ownership(Uneven())
+
+    class Whole:
+        n_data = 4
+        local_slots = [2, 3]
+
+    ShardedSbsPipeline._check_slot_ownership(Whole())  # no raise

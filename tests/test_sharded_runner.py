@@ -459,3 +459,75 @@ def test_segment_decode_failure_degrades_to_black(tmp_path):
         reader.close()
     assert n == 6
     np.testing.assert_array_equal(clips[0], oracle)
+
+
+def test_segment_decoder_crash_raises_not_truncates(tmp_path):
+    """A decode-thread CRASH (as opposed to a per-frame read failure, which
+    degrades to black) must raise out of process_segment into the error
+    funnel — the queue's EOF sentinel used to be put in a finally, so a
+    crashed decoder masqueraded as a clean, silently short segment."""
+    model = DepthAnythingV2(TINY, dtype=jnp.float32)
+    params = random_params(model)
+    cfg = RunConfig(batch_size=2, input_size=56, compute_dtype="float32")
+    pipe = SbsPipeline(model, params, H, W, run_cfg=cfg)
+    video = tmp_path / "in.mp4"
+    write_synthetic_video(video, 6, h=H, w=W)
+
+    class CrashingReader:
+        def __init__(self, path):
+            self._inner = VideoReader(path, begin=0)
+            self.height, self.width = self._inner.height, self._inner.width
+            self._i = 0
+
+        def read_into(self, out) -> bool:
+            if self._i == 3:
+                raise OSError("decoder wedged mid-stream")
+            self._i += 1
+            return self._inner.read_into(out)
+
+        def close(self):
+            self._inner.close()
+
+    class Grab:
+        def write_clip(self, begin, chunk):
+            pass
+
+        def wait(self):
+            pass
+
+    reader = CrashingReader(str(video))
+    try:
+        with pytest.raises(RuntimeError, match="decode thread crashed"):
+            process_segment(pipe, reader, Grab(), 0, 6, max_frame_count=16,
+                            batch_size=2)
+    finally:
+        reader.close()
+
+
+def test_sharded_decoder_crash_raises(tmp_path, monkeypatch):
+    """Same contract for the sharded runner's decode thread: a reader crash
+    surfaces as an exception from run_sharded (and the finally still closes
+    readers/writer) instead of truncating segments silently."""
+    import vr_video_generator_tpu.runtime.sharded_runner as sr
+
+    video = tmp_path / "in.mp4"
+    write_synthetic_video(video, 8, h=H, w=W)
+    model = DepthAnythingV2(TINY, dtype=jnp.float32)
+    params = random_params(model)
+    cfg = RunConfig(batch_size=2, input_size=56, compute_dtype="float32")
+
+    class CrashingReader(VideoReader):
+        def frames(self, lo, hi):
+            for k, f in enumerate(super().frames(lo, hi)):
+                if lo + k >= 5:
+                    raise OSError("decoder wedged")
+                yield f
+
+    monkeypatch.setattr(sr, "VideoReader", CrashingReader)
+    import jax
+    mesh = make_mesh((2, 1), devices=jax.devices()[:2])
+    pipe = ShardedSbsPipeline(model, params, H, W, mesh, run_cfg=cfg)
+    with pytest.raises(RuntimeError, match="decode thread crashed"):
+        run_sharded(pipe, str(video), str(tmp_path / "sub") + os.sep,
+                    0, 8, max_frame_count=4, batch_size=2,
+                    writer_backend="cv2")

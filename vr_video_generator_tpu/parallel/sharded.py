@@ -77,6 +77,7 @@ class ShardedSbsPipeline:
 
         _check_depth_stride(self.run_cfg)
         self.depth_stride = self.run_cfg.depth_stride
+        self._check_slot_ownership()
         data_sharding = NamedSharding(mesh, P("data"))
         state_shardings = jax.tree.map(
             lambda _: data_sharding,
@@ -94,6 +95,28 @@ class ShardedSbsPipeline:
         from vr_video_generator_tpu.parallel.multihost import local_data_slots
 
         return local_data_slots(self.mesh)
+
+    def _check_slot_ownership(self) -> None:
+        """Multi-host feeding is host-local by design (frames never cross
+        hosts — step_local furnishes only this process's data shards), which
+        requires every process to own n_data/process_count whole slots. A
+        mesh violating that (e.g. data=1 over several hosts: one slot's
+        devices span processes, so other hosts could never furnish their
+        addressable shards; or uneven ownership) would deadlock or crash
+        deep inside make_array_from_process_local_data — refuse it loudly
+        at construction instead."""
+        n_proc = jax.process_count()
+        if n_proc == 1:
+            return
+        owned = len(self.local_slots)
+        if self.n_data % n_proc or owned != self.n_data // n_proc:
+            raise ValueError(
+                f"mesh data axis ({self.n_data}) must split into whole "
+                f"per-process slot groups across {n_proc} processes "
+                f"(this process owns {owned}); pick a mesh whose data "
+                "extent is a multiple of the process count — pure "
+                "model-parallel multi-host (data smaller than the process "
+                "count) is not supported by the host-local feeding design")
 
     def initial_state(self) -> TemporalState:
         # Created on-device under out_shardings (not device_put of a host
@@ -230,7 +253,9 @@ class ShardedSbsPipeline:
         if self.depth_stride < 2:
             raise ValueError("stride_audit requires depth_stride > 1")
         n_local, h, w, _ = local_frames_u8.shape
-        n_global = n_local * (self.n_data // max(len(self.local_slots), 1))
+        # ownership is whole and even (checked at construction), so the
+        # global batch is n_data * the per-slot batch
+        n_global = self.n_data * (n_local // len(self.local_slots))
         sharding = NamedSharding(self.mesh, P("data"))
         frames = jax.make_array_from_process_local_data(
             sharding, np.asarray(local_frames_u8), (n_global, h, w, 3))
@@ -246,9 +271,9 @@ class ShardedSbsPipeline:
         (SURVEY.md §2c: DCN carries only program coordination).
         ``n_valid_local``: per-owned-slot real-frame counts (same order)."""
         n_local, h, w, _ = local_frames_u8.shape
-        n_slots = max(len(self.local_slots), 1)
-        n_global = n_local * (self.n_data // n_slots)
+        n_slots = len(self.local_slots)  # > 0: checked at construction
         b = n_local // n_slots
+        n_global = self.n_data * b
         sharding = NamedSharding(self.mesh, P("data"))
         frames = jax.make_array_from_process_local_data(
             sharding, np.asarray(local_frames_u8), (n_global, h, w, 3))

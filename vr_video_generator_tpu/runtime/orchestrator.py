@@ -7,9 +7,12 @@ repair_mode (:400-419), run the conversion loop over the requested frame
 range, and combine subclips + audio. Repair parity:
 
   repair_mode 0: clear debug+subclip dirs, convert everything, combine
-  repair_mode 1: clear debug dir only, convert the given range, no combine
-  repair_mode 2: combine existing subclips with audio
-  repair_mode 3: combine video only (debug)
+  repair_mode 1: KEEP the debug dir, convert the given range, no combine
+  repair_mode 2: clear debug dir, combine existing subclips with audio
+  repair_mode 3: clear debug dir, combine video only (debug)
+
+(Debug-dir lifecycle matches the reference exactly — :402-405 clears it in
+every mode EXCEPT 1, so a combine-only rerun does wipe prior segment logs.)
 
 An extra ``check_and_repair`` entry reruns exactly the broken ranges found
 by video/check.py — the library-form of Check_Clips.py's repair loop.
@@ -48,6 +51,12 @@ def convert_range(cfg: RunConfig, begin: int, end: int,
     if cfg.mesh_shape is not None and pipeline is None:
         return _convert_range_sharded(cfg, begin, end, width, height,
                                       allow_random=allow_random, log=log)
+    if pipeline is not None and not isinstance(pipeline, SbsPipeline):
+        # a ShardedSbsPipeline fed to the single-chip loop would reinterpret
+        # the batch as n_data separate temporal segments — refuse loudly
+        raise TypeError("convert_range takes a single-chip SbsPipeline; "
+                        "for the sharded runtime set cfg.mesh_shape and "
+                        "pass pipeline=None")
     if pipeline is None:
         pipeline = SbsPipeline.create(cfg, height, width,
                                       allow_random=allow_random)
@@ -142,10 +151,13 @@ def run(cfg: RunConfig, allow_random: bool = False) -> None:
     from vr_video_generator_tpu.utils.devwatch import (require_backend,
                                                        watch_backend_init)
 
-    # Kick backend init now (concurrent with dir/video setup) and get a
-    # stderr diagnosis if it stalls — a down TPU relay otherwise hangs the
-    # run forever with no output.
-    done = watch_backend_init()
+    done = None
+    if cfg.repair_mode in (0, 1):
+        # Kick backend init now (concurrent with dir/video setup) and get a
+        # stderr diagnosis if it stalls — a down TPU relay otherwise hangs
+        # the run forever with no output. Combine-only modes (2/3) are pure
+        # ffmpeg host work and must not touch (or contend for) the device.
+        done = watch_backend_init()
     create_folder_if_not_exist(cfg.debug_dir)
     create_folder_if_not_exist(cfg.subclip_dir)
     if cfg.repair_mode != 1:
@@ -178,11 +190,17 @@ def run(cfg: RunConfig, allow_random: bool = False) -> None:
 def check_and_repair(cfg: RunConfig, repair: bool = True,
                      allow_random: bool = False, pipeline=None) -> list:
     """Integrity-check subclips; optionally regenerate broken ranges
-    (library form of reference Check_Clips.py:15-37). A prebuilt
-    ``pipeline`` is reused across every repaired range — without it each
-    range re-loads and re-jits the model."""
+    (library form of reference Check_Clips.py:15-37). One pipeline is
+    built lazily and reused across every repaired range (each range would
+    otherwise re-load and re-jit the model); callers may also pass a
+    prebuilt single-chip ``pipeline``. With ``cfg.mesh_shape`` set, each
+    range goes through the sharded runtime (which owns its pipeline)."""
     issues = check_subclips(cfg.subclip_dir, remove_bad=repair)
     if repair:
+        if pipeline is None and cfg.mesh_shape is None and issues:
+            _, _, width, height = probe_video(cfg.video_dir)
+            pipeline = SbsPipeline.create(cfg, height, width,
+                                          allow_random=allow_random)
         for issue in issues:
             lo, hi = issue.repair_range
             convert_range(cfg, lo, hi, allow_random=allow_random,

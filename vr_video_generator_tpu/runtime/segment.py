@@ -49,8 +49,14 @@ def _decode_batches(reader: VideoReader, begin: int, end: int,
                     batch[k] = 0  # black frame on decode failure (ref :222-225)
             out_q.put(batch)
             i += n
-    finally:
-        out_q.put(None)
+        out_q.put(None)  # normal EOF
+    except BaseException as e:  # noqa: BLE001
+        # A decoder CRASH (as opposed to a per-frame read failure, which
+        # degrades to black above) must not masquerade as EOF — ship the
+        # exception to the consumer so process_segment re-raises it into
+        # the ERROR.txt funnel instead of reporting a silently short
+        # segment.
+        out_q.put(e)
 
 
 class EmitWindow:
@@ -141,6 +147,10 @@ def process_segment(pipeline: SbsPipeline, reader: VideoReader,
             batch = batches.get()
         if batch is None:
             break
+        if isinstance(batch, BaseException):
+            raise RuntimeError(
+                f"decode thread crashed at frame "
+                f"{stream_base + frames_done}") from batch
         # pad the final short batch to the compiled batch size
         n_real = batch.shape[0]
         if n_real < batch_size:

@@ -13,6 +13,8 @@ all match the reference's worker semantics.
 from __future__ import annotations
 
 import math
+import queue
+import threading
 from dataclasses import dataclass
 from typing import List, Optional
 
@@ -25,7 +27,7 @@ from vr_video_generator_tpu.runtime.segment import EmitWindow
 from vr_video_generator_tpu.utils.logging import (ProgressMeter, WorkerLog,
                                                   stride_audit_line)
 from vr_video_generator_tpu.video.reader import VideoReader, probe_video
-from vr_video_generator_tpu.video.writer import SubclipWriter
+from vr_video_generator_tpu.video.writer import SubclipWriter, get_ffmpeg_config
 
 
 @dataclass
@@ -204,16 +206,19 @@ def run_sharded(pipeline: ShardedSbsPipeline, video_path: str,
                            cursor=proc[i], reader=reader, pending=[],
                            clip_begin=lo,
                            window=EmitWindow(lo - proc[i], hi - lo))
+    # Encoder parity with the single-chip path (runtime/orchestrator.py):
+    # honor cfg.encoder_device's ffmpeg argv (NVENC etc.) and let every
+    # owned slot's clip encode overlap instead of serializing on one pipe.
+    cfg = pipeline.run_cfg
+    _, ffmpeg_config = get_ffmpeg_config(video_path, cfg.encoder_device) \
+        if cfg.encoder_device else (None, None)
     writer = SubclipWriter(subclip_dir, fps, 2 * pipeline.width,
-                           pipeline.height, backend=writer_backend)
+                           pipeline.height, ffmpeg_config=ffmpeg_config,
+                           max_concurrent=max(1, cfg.num_workers, len(owned)),
+                           backend=writer_backend)
 
     total = max(sum(hi - lo for lo, hi in (bounds[i] for i in owned)), 1)
     meter = ProgressMeter(total, log)
-    states = _primed_states(pipeline, [proc[i] for i in owned],
-                            video_path, b, warmup, reader_backend,
-                            multi_host,
-                            any_preceding=any(p > 0 for p in proc),
-                            global_begins=proc)
     frames_done = 0
     h, w = pipeline.height, pipeline.width
     # Same trip count on every process: the longest segment anywhere decides.
@@ -227,46 +232,15 @@ def run_sharded(pipeline: ShardedSbsPipeline, video_path: str,
             writer.write_clip(seg.clip_begin, chunk)
             seg.clip_begin += len(chunk)
 
-    audit_every = pipeline.run_cfg.stride_audit_every
-    audit_on = audit_every > 0 and pipeline.depth_stride > 1
-
-    for step_idx in range(n_steps):
-        batch = np.zeros((len(owned), b, h, w, 3), np.uint8)
-        counts = []
-        for slot_i, i in enumerate(owned):
-            seg = segs[i]
-            n_want = min(b, seg.decode_end - seg.cursor)
-            for j, frame in enumerate(seg.reader.frames(seg.cursor,
-                                                        seg.cursor + n_want)):
-                batch[slot_i, j] = frame
-            if 0 < n_want < b:  # pad with the last frame for static shapes
-                batch[slot_i, n_want:] = batch[slot_i, n_want - 1]
-            counts.append(n_want)
-        local = batch.reshape(len(owned) * b, h, w, 3)
-        n_valid = np.asarray(counts, np.int32)
-        # Sampled stride-fidelity audit. The trigger is the (globally
-        # uniform) step index — NOT per-slot fill levels: the audit launches
-        # a global SPMD program, so a per-process condition would leave some
-        # hosts out of the collectives and deadlock the rest. Padded slots
-        # still compute (garbage) stats; they are simply not logged.
-        if audit_on and step_idx % audit_every == 0:
-            stats = (pipeline.stride_audit_local(local, states) if multi_host
-                     else pipeline.stride_audit(local, states))
-            for slot_i, i in enumerate(owned):
-                if counts[slot_i] == b and i in stats:
-                    rms, mx = stats[i]
-                    seg = segs[i]
-                    log.write(stride_audit_line(
-                        seg.cursor, seg.cursor + b, rms, mx,
-                        pipeline.spec.cfg.limit_step_cap, slot=i))
+    def emit(sbs, counts) -> None:
+        """Read one step's SBS back and route per-slot frames to writers."""
+        nonlocal frames_done
         if multi_host:
-            sbs, states = pipeline.step_local(local, states, n_valid)
-            shards = {s.index[0].start or 0: np.asarray(s.data)
-                      for s in sbs.addressable_shards}
+            shards = {sh.index[0].start or 0: np.asarray(sh.data)
+                      for sh in sbs.addressable_shards}
             sbs_np = np.concatenate(
                 [shards[k] for k in sorted(shards)], axis=0)
         else:
-            sbs, states = pipeline.step(local, states, n_valid)
             sbs_np = np.asarray(sbs)
         # packed emit: (n, h, 2w) uint32 words the writer unpacks host-side
         sbs_np = sbs_np.reshape((len(owned), b) + sbs_np.shape[1:])
@@ -280,10 +254,67 @@ def run_sharded(pipeline: ShardedSbsPipeline, video_path: str,
                 flush(seg, force=seg.done())
         meter.report(max(frames_done, 1))
 
-    for i in owned:
-        flush(segs[i], force=True)
-        segs[i].reader.close()
-    writer.close()
+    audit_every = cfg.stride_audit_every
+    audit_on = audit_every > 0 and pipeline.depth_stride > 1
+
+    try:
+        states = _primed_states(pipeline, [proc[i] for i in owned],
+                                video_path, b, warmup, reader_backend,
+                                multi_host,
+                                any_preceding=any(p > 0 for p in proc),
+                                global_begins=proc)
+        # Decode ahead on a background thread and read the PREVIOUS step's
+        # SBS back while the current one computes — the same double
+        # buffering the single-chip loop has (runtime/segment.py), which
+        # the first cut of this runner lacked (TPU idled during every
+        # decode+encode).
+        batches: "queue.Queue" = queue.Queue(maxsize=2)
+        decoder = threading.Thread(
+            target=_decode_steps,
+            args=([segs[i] for i in owned], b, h, w, n_steps, batches),
+            daemon=True)
+        decoder.start()
+
+        prev = None  # (sbs device array, counts) of the in-flight step
+        for step_idx in range(n_steps):
+            item = batches.get()
+            if isinstance(item, BaseException):
+                raise RuntimeError("sharded decode thread crashed") from item
+            local, counts, starts = item
+            n_valid = np.asarray(counts, np.int32)
+            # Sampled stride-fidelity audit. The trigger is the (globally
+            # uniform) step index — NOT per-slot fill levels: the audit
+            # launches a global SPMD program, so a per-process condition
+            # would leave some hosts out of the collectives and deadlock the
+            # rest. Padded slots still compute (garbage) stats; they are
+            # simply not logged.
+            if audit_on and step_idx % audit_every == 0:
+                stats = (pipeline.stride_audit_local(local, states)
+                         if multi_host else
+                         pipeline.stride_audit(local, states))
+                for slot_i, i in enumerate(owned):
+                    if counts[slot_i] == b and i in stats:
+                        rms, mx = stats[i]
+                        log.write(stride_audit_line(
+                            starts[slot_i], starts[slot_i] + b, rms, mx,
+                            pipeline.spec.cfg.limit_step_cap, slot=i))
+            if multi_host:
+                sbs, states = pipeline.step_local(local, states, n_valid)
+            else:
+                sbs, states = pipeline.step(local, states, n_valid)
+            if prev is not None:
+                emit(*prev)
+            prev = (sbs, counts)
+        if prev is not None:
+            emit(*prev)
+        decoder.join()
+        for i in owned:
+            flush(segs[i], force=True)
+    finally:
+        # SubclipWriter.close waits on in-flight encoders before closing
+        for i in owned:
+            segs[i].reader.close()
+        writer.close()
     # overflow is (n_data,) sharded P("data"): each data shard is replicated
     # across the model axis, so dedupe by data index (like the sbs readback)
     # or the tally overcounts by n_model.
@@ -295,3 +326,33 @@ def run_sharded(pipeline: ShardedSbsPipeline, video_path: str,
                   f"depth_scaler)")
     log.write("Sharded runner ending")
     return frames_done
+
+
+def _decode_steps(segs_owned: List[_Segment], b: int, h: int, w: int,
+                  n_steps: int, out_q: "queue.Queue") -> None:
+    """Background producer of staged step batches: exactly ``n_steps``
+    (local, counts, starts) tuples, then None. Uses its own cursors —
+    ``_Segment.cursor`` stays the EMIT-side accounting the consumer
+    advances. A crash ships the exception to the consumer (same contract
+    as runtime/segment._decode_batches)."""
+    cursors = [seg.cursor for seg in segs_owned]
+    try:
+        for _ in range(n_steps):
+            local = np.empty((len(segs_owned), b, h, w, 3), np.uint8)
+            counts, starts = [], []
+            for slot_i, seg in enumerate(segs_owned):
+                n_want = max(min(b, seg.decode_end - cursors[slot_i]), 0)
+                starts.append(cursors[slot_i])
+                for j, frame in enumerate(seg.reader.frames(
+                        cursors[slot_i], cursors[slot_i] + n_want)):
+                    local[slot_i, j] = frame
+                if n_want < b:  # pad with the last frame for static shapes
+                    local[slot_i, n_want:] = (local[slot_i, n_want - 1]
+                                              if n_want else 0)
+                counts.append(n_want)
+                cursors[slot_i] += n_want
+            out_q.put((local.reshape(len(segs_owned) * b, h, w, 3),
+                       counts, starts))
+        out_q.put(None)
+    except BaseException as e:  # noqa: BLE001 — shipped to the consumer
+        out_q.put(e)
