@@ -1,6 +1,8 @@
 """CLI flag-surface and UI tests."""
 
 
+import pytest
+
 from vr_video_generator_tpu.cli import parse_run_config
 from vr_video_generator_tpu.ui.app import (
     auto_output_name,
@@ -229,3 +231,11 @@ def test_cli_mesh_end_to_end(tmp_path):
     cap = cv2.VideoCapture(str(out))
     assert (int(cap.get(cv2.CAP_PROP_FRAME_COUNT)),
             int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))) == (12, 128)
+
+
+def test_swapped_offset_signs_rejected_clearly():
+    """fg<0/bg>0 passes the reference's same-sign fixup untouched, then used
+    to size a NEGATIVE plane table and crash with an obscure shape error —
+    normalized() must reject it with a message naming the problem."""
+    with pytest.raises(ValueError, match="swapped"):
+        StereoConfig(offset_fg=-0.025, offset_bg=0.01).normalized()

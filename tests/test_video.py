@@ -90,7 +90,9 @@ def test_checker_catches_one_frame_gap(tmp_path):
 
 def test_checker_catches_overlapping_clips(tmp_path):
     """Clips 0_5 + 5_9 double-own frame 5 under the writer's end-inclusive
-    naming; the later clip is dropped and its range queued for repair."""
+    naming; the later clip is dropped and ONLY its tail past the kept clip
+    is queued for repair — a (5, 10) full-range repair would regenerate
+    5_9.mp4 and re-create the very overlap just flagged, forever."""
     subdir = str(tmp_path / "sub") + os.sep
     writer = SubclipWriter(subdir, FPS, W, H, backend="cv2")
     rng = np.random.default_rng(0)
@@ -100,14 +102,38 @@ def test_checker_catches_overlapping_clips(tmp_path):
     writer.close()
     issues = check_subclips(subdir, remove_bad=True)
     assert [(i.kind, i.filename, i.repair_range) for i in issues] == [
-        ("continuity", "5_9.mp4", (5, 10))]
+        ("continuity", "5_9.mp4", (6, 10))]
     assert sorted_subclips(subdir) == ["0_5.mp4"]
+    # repairing that range yields a clean, overlap-free layout
+    writer = SubclipWriter(subdir, FPS, W, H, backend="cv2")
+    writer.write_clip(6, list(frames[6:10]))   # 6_9
+    writer.close()
+    assert check_subclips(subdir) == []
+
+
+def test_checker_fully_contained_clip_needs_no_repair(tmp_path):
+    """A clip fully inside the kept one (0_9 + 3_6) is pure duplication:
+    removal alone fixes it, so its repair range is empty."""
+    subdir = str(tmp_path / "sub") + os.sep
+    writer = SubclipWriter(subdir, FPS, W, H, backend="cv2")
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 256, (10, H, W, 3), dtype=np.uint8)
+    writer.write_clip(0, list(frames))         # 0_9
+    writer.write_clip(3, list(frames[3:7]))    # 3_6, contained
+    writer.close()
+    issues = check_subclips(subdir, remove_bad=True)
+    assert [(i.kind, i.filename, i.repair_range) for i in issues] == [
+        ("continuity", "3_6.mp4", (7, 7))]
+    assert sorted_subclips(subdir) == ["0_9.mp4"]
+    assert check_subclips(subdir) == []
 
 
 def test_checker_double_bad_clip_removed_once(tmp_path):
-    """A clip failing BOTH the length and the overlap check must be removed
-    exactly once (regression: os.remove raised FileNotFoundError on the
-    second attempt and aborted the scan)."""
+    """A clip that is BOTH short and overlapping is removed exactly once
+    (regression: os.remove raised FileNotFoundError on the second attempt
+    and aborted the scan). The overlap verdict subsumes the length one —
+    the clip is dropped and only its non-owned tail repaired, so emitting a
+    full-range length issue too would regenerate the overlap."""
     import cv2
 
     subdir = str(tmp_path / "sub") + os.sep
@@ -123,8 +149,8 @@ def test_checker_double_bad_clip_removed_once(tmp_path):
         wr.write(f[:, :, ::-1])
     wr.release()
     issues = check_subclips(subdir, remove_bad=True)
-    assert {(i.kind, i.filename) for i in issues} == {
-        ("length", "5_9.mp4"), ("continuity", "5_9.mp4")}
+    assert [(i.kind, i.filename, i.repair_range) for i in issues] == [
+        ("continuity", "5_9.mp4", (6, 10))]
     assert sorted_subclips(subdir) == ["0_5.mp4"]
 
 
@@ -568,3 +594,72 @@ def test_get_length(tmp_path):
     video = tmp_path / "in.mp4"
     write_synthetic_video(video, 20)
     assert abs(get_length(str(video)) - 20 / FPS) < 0.25
+
+
+def test_writer_raises_on_encoder_failure(tmp_path):
+    """A nonzero encoder exit must raise (at the reap point), not pass
+    silently — a failed finalize used to leave a truncated subclip in a
+    'successful' run."""
+    import sys
+
+    fake = [sys.executable, "-c",
+            "import sys; sys.stdin.buffer.read(); sys.exit(3)"]
+    writer = SubclipWriter(str(tmp_path) + os.sep, FPS, W, H,
+                           ffmpeg_config=fake, backend="ffmpeg")
+    frames = [np.zeros((H, W, 3), np.uint8)] * 2
+    writer.write_clip(0, frames)  # starts the fake encoder
+    import subprocess as sp
+
+    with pytest.raises(sp.CalledProcessError):
+        writer.close()
+
+
+def test_writer_forced_ffmpeg_backend_fails_at_construction(tmp_path,
+                                                            monkeypatch):
+    """--writer_backend ffmpeg with no binary must fail at construction with
+    a clear message (like VideoReader), not with an opaque Popen TypeError
+    after the first batch was already computed."""
+    monkeypatch.setenv("PATH", "")
+    monkeypatch.chdir(tmp_path)  # no vendored ./ffmpeg dir either
+    with pytest.raises(RuntimeError, match="ffmpeg binary not found"):
+        SubclipWriter(str(tmp_path) + os.sep, FPS, W, H, backend="ffmpeg")
+
+
+def test_find_binary_env_override_uses_project_prefix(tmp_path, monkeypatch):
+    """VRVG_FFMPEG (the project's knob prefix, like VRVG_INIT_TIMEOUT) pins
+    a specific binary."""
+    from vr_video_generator_tpu.video.reader import find_binary
+
+    fake = tmp_path / "my_ffmpeg"
+    fake.write_text("#!/bin/sh\n")
+    monkeypatch.setenv("VRVG_FFMPEG", str(fake))
+    assert find_binary("ffmpeg") == str(fake)
+
+
+def test_reader_ffmpeg_argv_pins_probed_frame_size(tmp_path, monkeypatch):
+    """The pipe backend must pin rawvideo output to the probed WxH (a
+    mid-stream resolution change would otherwise misframe every subsequent
+    fixed-size read into sheared garbage), with the frame-exact select
+    filter ahead of the scale in the same chain."""
+    import vr_video_generator_tpu.video.reader as rd
+
+    video = tmp_path / "in.mp4"
+    write_synthetic_video(video, 4)
+    captured = {}
+
+    class FakeProc:
+        stdout = None
+
+        def __init__(self, args, **kw):
+            captured["args"] = args
+
+    monkeypatch.setattr(rd.subprocess, "Popen", FakeProc)
+    monkeypatch.setattr(rd, "find_binary",
+                        lambda name: "ffmpeg" if name == "ffmpeg" else None)
+    VideoReader(str(video), begin=0, backend="ffmpeg")
+    args = captured["args"]
+    assert args[args.index("-vf") + 1] == f"scale={W}:{H}"
+    VideoReader(str(video), begin=2, backend="ffmpeg")
+    args = captured["args"]
+    assert args[args.index("-vf") + 1] == f"select=gte(n\\,2),scale={W}:{H}"
+    assert "-vsync" in args

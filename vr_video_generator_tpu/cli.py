@@ -100,7 +100,8 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def parse_run_config(argv: Optional[List[str]] = None) -> tuple[RunConfig, bool]:
+def parse_run_config(argv: Optional[List[str]] = None
+                     ) -> tuple[RunConfig, argparse.Namespace]:
     args, unknown = build_parser().parse_known_args(argv)
     if unknown:
         print("Discarded arguments: ", unknown)

@@ -53,13 +53,22 @@ class StereoConfig:
 
     def normalized(self) -> "StereoConfig":
         """Force offset_fg/offset_bg to opposite signs like the reference's
-        sign-sanity fixup (reference PredictAndGenerate.py:387-393)."""
+        sign-sanity fixup (reference PredictAndGenerate.py:387-393), and
+        reject SWAPPED signs outright: the reference's fixup only handles
+        the same-sign case, so fg<0/bg>0 would flow through to a negative
+        max_planes and crash deep in table construction with an obscure
+        shape error."""
         fg, bg = self.offset_fg, self.offset_bg
         if bg * fg > 0:
             if bg >= 0:
                 bg = -bg
             else:
                 fg = -fg
+        if fg < 0 or bg > 0:
+            raise ValueError(
+                f"offset_fg must be >= 0 (pop-out) and offset_bg <= 0 "
+                f"(push-in); got offset_fg={fg}, offset_bg={bg} — the two "
+                "values appear swapped")
         return dataclasses.replace(self, offset_fg=fg, offset_bg=bg)
 
     def max_planes(self, height: int) -> int:
@@ -221,8 +230,6 @@ class RunConfig:
                             offset_step_size=self.offset_step_size).normalized()
 
     def model(self) -> ModelConfig:
-        import dataclasses
-
         cfg = ModelConfig.for_encoder(self.encoder)
         if self.gelu == "tanh":
             cfg = dataclasses.replace(cfg, gelu_approx=True)

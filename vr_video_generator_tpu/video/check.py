@@ -40,29 +40,30 @@ def check_subclips(subclip_dir: str, remove_bad: bool = False) -> List[ClipIssue
     for name in sorted_subclips(subclip_dir):
         begin, end_inclusive = parse_clip_name(name)
         path = os.path.join(subclip_dir, name)
+        # The writer's names are end-INCLUSIVE (video/writer.py), so the
+        # only contiguous layout is begin == prev_end + 1. Accepting
+        # begin == prev_end too would mask a real 1-frame gap.
+        if prev_end is not None and begin <= prev_end:  # overlap
+            # Frames [begin, prev_end] are owned by the clip we kept: drop
+            # the later clip and regenerate ONLY its tail past the kept
+            # clip — a full-range repair would re-create the same overlap
+            # (and re-flag forever). A clip fully contained in the kept one
+            # gets an empty repair range (removal alone fixes it). Length
+            # is not checked: the clip is removed regardless.
+            lo = min(prev_end + 1, end_inclusive + 1)
+            issues.append(ClipIssue("continuity", name,
+                                    (lo, end_inclusive + 1)))
+            if remove_bad:
+                os.remove(path)
+            continue
         _, real_len, _, _ = probe_video(path)
         expected = end_inclusive + 1 - begin
-        removed = False
         if real_len != expected:
             issues.append(ClipIssue("length", name, (begin, end_inclusive + 1)))
             if remove_bad:
                 os.remove(path)
-                removed = True
-        if prev_end is not None:
-            # The writer's names are end-INCLUSIVE (video/writer.py), so the
-            # only contiguous layout is begin == prev_end + 1. Accepting
-            # begin == prev_end too would mask a real 1-frame gap.
-            if begin > prev_end + 1:          # gap
-                issues.append(ClipIssue("continuity", prev_name,
-                                        (prev_end + 1, begin)))
-            elif begin <= prev_end:           # overlap
-                # Frames [begin, prev_end] are owned twice; drop the later
-                # clip, regenerate its whole range, and keep checking the
-                # following clips against the clip we kept.
-                issues.append(ClipIssue("continuity", name,
-                                        (begin, end_inclusive + 1)))
-                if remove_bad and not removed:  # may already be gone (length)
-                    os.remove(path)
-                continue
+        if prev_end is not None and begin > prev_end + 1:  # gap
+            issues.append(ClipIssue("continuity", prev_name,
+                                    (prev_end + 1, begin)))
         prev_name, prev_end = name, end_inclusive
     return issues

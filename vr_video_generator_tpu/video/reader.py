@@ -46,9 +46,10 @@ def native_available() -> bool:
 
 
 def find_binary(name: str) -> Optional[str]:
-    """Locate ffmpeg/ffprobe: env override, vendored ./ffmpeg dir (the
-    reference's layout, README.md:43), then PATH."""
-    env = os.environ.get(f"VRSBG_{name.upper()}")
+    """Locate ffmpeg/ffprobe: env override (VRVG_FFMPEG/VRVG_FFPROBE — the
+    project's knob prefix), vendored ./ffmpeg dir (the reference's layout,
+    README.md:43), then PATH."""
+    env = os.environ.get(f"VRVG_{name.upper()}")
     if env and os.path.exists(env):
         return env
     vendored = os.path.join(".", "ffmpeg", name)
@@ -121,13 +122,22 @@ class VideoReader:
             if not ffmpeg:
                 raise RuntimeError("ffmpeg binary not found for ffmpeg backend")
             args = [ffmpeg, "-v", "error", "-i", path]
+            # Pin the output frame size to the probed dimensions: a
+            # mid-stream resolution change would otherwise misframe every
+            # subsequent fixed-size pipe read into sheared garbage. The
+            # rgb24 request already inserts swscale, so the explicit size
+            # merges into that conversion (no extra pass, no pixel change
+            # at the normal constant-size case — the ffmpeg==cv2 parity
+            # test runs through this filter).
+            vf = f"scale={self.width}:{self.height}"
             if begin:
                 # Frame-exact seek: a timestamp -ss lands on GOP-dependent
                 # frames (reference seeks frame-exactly via cv2,
                 # SupportFunction.py:170-177); select on the decode-order
                 # frame counter instead. Dropped frames never cross the pipe.
-                args += ["-vf", f"select=gte(n\\,{begin})", "-vsync", "0"]
-            args += ["-f", "rawvideo", "-pix_fmt", "rgb24", "-"]
+                vf = f"select=gte(n\\,{begin})," + vf
+                args += ["-vsync", "0"]
+            args += ["-vf", vf, "-f", "rawvideo", "-pix_fmt", "rgb24", "-"]
             self._proc = subprocess.Popen(args, stdout=subprocess.PIPE,
                                           bufsize=self.width * self.height * 3 * 4)
         else:
@@ -184,6 +194,13 @@ class VideoReader:
         if self._proc is not None:
             self._proc.stdout.close()
             self._proc.terminate()
+            try:
+                # reap: terminate() alone leaves a zombie per reader (one is
+                # opened per segment, warm-up window, and repair range)
+                self._proc.wait(timeout=5)
+            except subprocess.TimeoutExpired:
+                self._proc.kill()
+                self._proc.wait()
             self._proc = None
 
     def __enter__(self):

@@ -65,6 +65,12 @@ class SubclipWriter:
         self._procs: List[subprocess.Popen] = []
         if backend == "auto":
             backend = "ffmpeg" if find_binary("ffmpeg") else "cv2"
+        elif backend == "ffmpeg" and ffmpeg_config is None \
+                and not find_binary("ffmpeg"):
+            # fail at construction like VideoReader, not with an opaque
+            # Popen TypeError after the first batch is already computed
+            raise RuntimeError("ffmpeg binary not found for ffmpeg writer "
+                               "backend")
         self.backend = backend
         self.ffmpeg_config = ffmpeg_config
 
@@ -93,7 +99,7 @@ class SubclipWriter:
             # Reference semantics with max_concurrent=1: wait for the previous
             # encoder before starting the next (:241-242).
             while len(self._procs) >= self.max_concurrent:
-                self._procs.pop(0).wait()
+                self._reap(self._procs.pop(0))
             config = self.ffmpeg_config
             if config is None:
                 ffmpeg = find_binary("ffmpeg")
@@ -104,20 +110,28 @@ class SubclipWriter:
                           "-b:v", "5M", "-maxrate", "10M", "-bufsize", "20M"]
             proc = subprocess.Popen(config + [path], stdin=subprocess.PIPE,
                                     stderr=subprocess.DEVNULL)
-            if native_available():
-                # GIL-free EINTR-safe fd writes; frames coming off the device
-                # readback are contiguous batch rows, so this path is
-                # zero-copy (no .tobytes() allocation per frame) for uint8
-                # and one native byte-strip for packed-uint32 SBS.
-                fd = proc.stdin.fileno()
-                for frame in frames:
-                    if native.write_full(fd, self._rgb24(frame)) < 0:
-                        raise BrokenPipeError(f"encoder pipe write failed: {path}")
-            else:
-                for frame in frames:
-                    frame = self._rgb24(frame)
-                    proc.stdin.write(np.ascontiguousarray(frame).tobytes())
-            proc.stdin.close()
+            try:
+                if native_available():
+                    # GIL-free EINTR-safe fd writes; frames coming off the
+                    # device readback are contiguous batch rows, so this path
+                    # is zero-copy (no .tobytes() allocation per frame) for
+                    # uint8 and one native byte-strip for packed-uint32 SBS.
+                    fd = proc.stdin.fileno()
+                    for frame in frames:
+                        if native.write_full(fd, self._rgb24(frame)) < 0:
+                            raise BrokenPipeError(
+                                f"encoder pipe write failed: {path}")
+                else:
+                    for frame in frames:
+                        frame = self._rgb24(frame)
+                        proc.stdin.write(np.ascontiguousarray(frame).tobytes())
+                proc.stdin.close()
+            except BaseException:
+                # don't leak a stdin-blocked encoder into the error path
+                proc.stdin.close()
+                proc.kill()
+                proc.wait()
+                raise
             self._procs.append(proc)
         else:
             writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
@@ -130,9 +144,17 @@ class SubclipWriter:
             writer.release()
         return path
 
+    def _reap(self, proc: subprocess.Popen) -> None:
+        """Wait for an encoder and REFUSE a nonzero exit: a failed encode
+        (disk full at finalize, unwritable path, codec error) used to pass
+        silently — the run completed 'successfully' around a truncated
+        subclip that only verify_frame_count's printed diff would hint at."""
+        if proc.wait() != 0:
+            raise subprocess.CalledProcessError(proc.returncode, proc.args)
+
     def wait(self) -> None:
         while self._procs:
-            self._procs.pop(0).wait()
+            self._reap(self._procs.pop(0))
 
     def close(self) -> None:
         self.wait()
