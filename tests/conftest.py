@@ -16,6 +16,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+import stat  # noqa: E402
+import sys  # noqa: E402
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
@@ -23,3 +26,47 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+class FakeFfmpeg:
+    """Handle to the behavioral ffmpeg/ffprobe double (tests/fakes/
+    ffmpeg_double.py): real executables the production tier spawns as real
+    subprocesses. ``ffmpeg``/``ffprobe`` are the shim paths; ``sidecar``
+    fabricates non-video side content for an "original" video."""
+
+    def __init__(self, bindir):
+        self.bindir = str(bindir)
+        self.ffmpeg = os.path.join(self.bindir, "ffmpeg")
+        self.ffprobe = os.path.join(self.bindir, "ffprobe")
+
+    @staticmethod
+    def sidecar(path, **kw):
+        from tests.fakes.ffmpeg_double import make_sidecar
+        return make_sidecar(path, **kw)
+
+    @staticmethod
+    def read_sidecar(path):
+        import json
+
+        from tests.fakes.ffmpeg_double import SIDECAR_SUFFIX
+        with open(str(path) + SIDECAR_SUFFIX) as f:
+            return json.load(f)
+
+
+@pytest.fixture
+def fake_ffmpeg(tmp_path, monkeypatch):
+    """Install the behavioral double as THE ffmpeg/ffprobe for this test via
+    the VRVG_FFMPEG/VRVG_FFPROBE overrides find_binary honors first."""
+    double = os.path.join(os.path.dirname(__file__), "fakes",
+                          "ffmpeg_double.py")
+    bindir = tmp_path / "ffbin"
+    bindir.mkdir()
+    for name in ("ffmpeg", "ffprobe"):
+        shim = bindir / name
+        shim.write_text(f"#!/bin/sh\nexec '{sys.executable}' '{double}' "
+                        f"{name} \"$@\"\n")
+        shim.chmod(shim.stat().st_mode | stat.S_IXUSR | stat.S_IXGRP)
+    handle = FakeFfmpeg(bindir)
+    monkeypatch.setenv("VRVG_FFMPEG", handle.ffmpeg)
+    monkeypatch.setenv("VRVG_FFPROBE", handle.ffprobe)
+    return handle

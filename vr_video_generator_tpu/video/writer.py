@@ -127,8 +127,13 @@ class SubclipWriter:
                         proc.stdin.write(np.ascontiguousarray(frame).tobytes())
                 proc.stdin.close()
             except BaseException:
-                # don't leak a stdin-blocked encoder into the error path
-                proc.stdin.close()
+                # don't leak a stdin-blocked encoder into the error path;
+                # close() flushes, and flushing into a dead encoder raises
+                # BrokenPipeError AGAIN — which must not skip the kill/reap
+                try:
+                    proc.stdin.close()
+                except OSError:
+                    pass
                 proc.kill()
                 proc.wait()
                 raise
