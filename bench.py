@@ -180,6 +180,13 @@ def main() -> None:
     parser.add_argument("--depth_stride", type=int, default=1,
                         help="opt-in depth-stride production mode (depth "
                              "net on every s-th frame; 1 = parity default)")
+    parser.add_argument("--reps", type=int, default=1,
+                        help="repetitions per config, interleaved config-"
+                             "major (rep 1 of every config, then rep 2, …) "
+                             "so minute-scale chip/relay drift hits all "
+                             "configs equally; the JSON line reports the "
+                             "median with a min/max spread. Default 1 keeps "
+                             "the driver's bare single-line contract.")
     args, _ = parser.parse_known_args()
     # Hard init deadline (after argparse so --help never blocks): the
     # devwatch warning alone leaves the process blocked forever on a dead
@@ -199,10 +206,12 @@ def main() -> None:
     if args.sharded:
         mesh_shape = tuple(int(v)
                            for v in args.sharded.replace("x", ",").split(","))
+    reps = max(1, args.reps)
     if args.all:
         import jax
 
         on_tpu = jax.default_backend() == "tpu"
+        configs = []
         for c in sorted(CONFIGS):
             # CPU smoke overrides the batch to max(2, stride), which the
             # stride always divides — the skip only applies to TPU configs.
@@ -212,14 +221,31 @@ def main() -> None:
                       f"{args.depth_stride} does not divide its batch "
                       f"{CONFIGS[c][3]}", file=sys.stderr)
                 continue
-            line = dict(config=c, **run_config(c, gelu=args.gelu,
-                                               mesh_shape=mesh_shape,
-                                               depth_stride=args.depth_stride))
-            print(json.dumps(line), flush=True)
-        return
-    print(json.dumps(run_config(args.config, gelu=args.gelu,
-                                mesh_shape=mesh_shape,
-                                depth_stride=args.depth_stride)))
+            configs.append(c)
+    else:
+        configs = [args.config]
+
+    # Config-major interleaving: rep r of EVERY config runs before rep r+1
+    # of any, so the known ±6% minute-scale drift (docs/BENCHLOG.md "chip
+    # day drift") lands on all configs alike instead of biasing whichever
+    # config happened to run during a fast window.
+    lines: dict = {c: [] for c in configs}
+    for rep in range(reps):
+        for c in configs:
+            line = run_config(c, gelu=args.gelu, mesh_shape=mesh_shape,
+                              depth_stride=args.depth_stride)
+            lines[c].append(line)
+            if reps > 1:  # progress without breaking the stdout contract
+                print(f"rep {rep + 1}/{reps} config {c}: "
+                      f"{line['value']} fps", file=sys.stderr, flush=True)
+    for c in configs:
+        final = dict(config=c, **lines[c][-1]) if args.all else lines[c][-1]
+        if reps > 1:
+            vals = sorted(l["value"] for l in lines[c])
+            final["value"] = round(float(np.median(vals)), 2)
+            final["vs_baseline"] = round(final["value"] / BASELINE_FPS, 2)
+            final["spread"] = {"min": vals[0], "max": vals[-1], "reps": reps}
+        print(json.dumps(final), flush=True)
 
 
 if __name__ == "__main__":

@@ -67,3 +67,50 @@ def test_bench_exits_nonzero_on_init_timeout(tmp_path):
     assert line["value"] == 0.0 and "relay" in line["error"]
     # the failure line points the reader at the last real-chip artifacts
     assert "BENCH_MATRIX" in line["last_real_chip"]
+
+
+def test_bench_reps_median_and_spread(tmp_path, monkeypatch, capsys):
+    """--reps N: config-major interleaving (rep 1 of every config before
+    rep 2 of any) and a median value with min/max spread in the JSON line."""
+    import json
+
+    import bench
+
+    calls = []
+
+    def fake_run_config(c, gelu="exact", mesh_shape=None, depth_stride=1):
+        calls.append(c)
+        # drift: the second rep of every config is faster
+        fps = 100.0 + c + (10.0 if calls.count(c) > 1 else 0.0)
+        return bench._json_line(f"m{c}", fps)
+
+    monkeypatch.setattr(bench, "run_config", fake_run_config)
+    monkeypatch.setattr(
+        sys, "argv", ["bench.py", "--all", "--reps", "3"])
+    bench.main()
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert [l["config"] for l in lines] == [1, 2, 3, 4, 5]
+    # interleaved config-major: 1..5, 1..5, 1..5 — not 1,1,1,2,2,2…
+    assert calls == [1, 2, 3, 4, 5] * 3
+    for l in lines:
+        c = l["config"]
+        assert l["spread"] == {"min": 100.0 + c, "max": 110.0 + c, "reps": 3}
+        assert l["value"] == 110.0 + c  # median of [base, base+10, base+10]
+        assert l["vs_baseline"] == round(l["value"] / bench.BASELINE_FPS, 2)
+
+
+def test_bench_default_line_has_no_spread(monkeypatch, capsys):
+    """Bare default (the driver's contract): exactly one JSON line, no
+    spread key, no config key."""
+    import json
+
+    import bench
+
+    monkeypatch.setattr(bench, "run_config",
+                        lambda c, **kw: bench._json_line("m", 123.0))
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
+    line = json.loads(out[0])
+    assert set(line) == {"metric", "value", "unit", "vs_baseline"}
