@@ -1,0 +1,278 @@
+"""Endurance soak: a REAL long CLI conversion on the real chip, instrumented.
+
+The reference's worst production scars were slow leaks over hours-long runs
+(reference Journal.txt:49-53 — the VRAM saga; production shape is an 86-min
+video, Journal.txt:33). Nothing in rounds 1-3 demonstrated flat memory and
+steady subclip cadence at that scale; this script does:
+
+  * runs the actual CLI entry (cli.main) on a long 1080p source
+    (scripts/soak_gen.py makes one), repair_mode 0 — convert + combine;
+  * a sampler thread records host RSS (this process + the ffmpeg subprocess
+    tree), device memory (jax memory_stats when the backend exposes it),
+    and the subclip count every few seconds;
+  * ffmpeg I/O goes through real subprocesses: the host's real ffmpeg when
+    present, else the behavioral double (tests/fakes) with spool mode so
+    encoder concurrency matches real ffmpeg's stdin draining;
+  * afterwards the integrity checker and the post-combine frame-count
+    verification must come back clean;
+  * writes ONE artifact JSON (default SOAK_r04.json) with throughput
+    percentiles from subclip cadence, first/second-half medians, and an
+    RSS slope over the conversion's second half (leak detector).
+
+Usage:
+  python scripts/soak_gen.py /tmp/soak_r04/in.mp4 100000
+  python scripts/soak.py --video /tmp/soak_r04/in.mp4 \
+      --workdir /tmp/soak_r04 --out SOAK_r04.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import stat
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from vr_video_generator_tpu.utils.cache import honor_platform_env  # noqa: E402
+from vr_video_generator_tpu.utils.devwatch import (require_backend,  # noqa: E402
+                                                   watch_backend_init)
+
+
+def _install_double(workdir: str) -> str:
+    """Point VRVG_FFMPEG/VRVG_FFPROBE at the behavioral double (spool mode)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    double = os.path.join(repo, "tests", "fakes", "ffmpeg_double.py")
+    bindir = os.path.join(workdir, "ffbin")
+    os.makedirs(bindir, exist_ok=True)
+    for name in ("ffmpeg", "ffprobe"):
+        shim = os.path.join(bindir, name)
+        with open(shim, "w") as f:
+            f.write(f"#!/bin/sh\nexec '{sys.executable}' '{double}' "
+                    f"{name} \"$@\"\n")
+        os.chmod(shim, os.stat(shim).st_mode | stat.S_IXUSR)
+        os.environ[f"VRVG_{name.upper()}"] = shim
+    os.environ["FAKE_FFMPEG_SPOOL"] = "1"
+    return "behavioral double (spool mode)"
+
+
+def _tree_rss_mb(root_pid: int) -> float:
+    """Sum VmRSS of root_pid and every descendant (the ffmpeg children)."""
+    children: dict[int, list[int]] = {}
+    for pid_s in os.listdir("/proc"):
+        if not pid_s.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid_s}/stat") as f:
+                fields = f.read().split()
+            children.setdefault(int(fields[3]), []).append(int(pid_s))
+        except OSError:
+            continue
+    total_kb = 0
+    stack = [root_pid]
+    while stack:
+        pid = stack.pop()
+        stack.extend(children.get(pid, []))
+        try:
+            with open(f"/proc/{pid}/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS:"):
+                        total_kb += int(line.split()[1])
+                        break
+        except OSError:
+            continue
+    return total_kb / 1024.0
+
+
+def _device_mem_mb() -> float | None:
+    try:
+        import jax
+        stats = jax.local_devices()[0].memory_stats()
+        if stats and "bytes_in_use" in stats:
+            return stats["bytes_in_use"] / 2**20
+    except Exception:
+        pass
+    return None
+
+
+class Sampler(threading.Thread):
+    def __init__(self, subclip_dir: str, every_s: float):
+        super().__init__(daemon=True)
+        self.subclip_dir = subclip_dir
+        self.every_s = every_s
+        self.samples: list[dict] = []
+        self._halt = threading.Event()
+
+    def run(self) -> None:
+        t0 = time.time()
+        while not self._halt.is_set():
+            try:
+                clips = len([f for f in os.listdir(self.subclip_dir)
+                             if f.endswith(".mp4")])
+            except OSError:
+                clips = 0
+            self.samples.append({
+                "t": round(time.time() - t0, 1),
+                "rss_mb": round(_tree_rss_mb(os.getpid()), 1),
+                "device_mb": _device_mem_mb(),
+                "subclips": clips,
+            })
+            self._halt.wait(self.every_s)
+
+    def stop(self) -> None:
+        self._halt.set()
+
+
+def _slope_per_hour(ts: list[float], ys: list[float]) -> float:
+    """Least-squares slope in units/hour over the given points."""
+    import numpy as np
+    if len(ts) < 3:
+        return 0.0
+    t = np.asarray(ts) / 3600.0
+    y = np.asarray(ys)
+    t = t - t.mean()
+    denom = float((t * t).sum())
+    return float((t * (y - y.mean())).sum() / denom) if denom else 0.0
+
+
+def _pct(vals: list[float], q: float) -> float:
+    import numpy as np
+    return round(float(np.percentile(vals, q)), 2)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--video", default="/tmp/soak_r04/in.mp4")
+    ap.add_argument("--workdir", default="/tmp/soak_r04")
+    ap.add_argument("--out", default="SOAK_r04.json")
+    ap.add_argument("--depth_stride", type=int, default=2,
+                    help="production-mode stride (VERDICT r3 permits stride "
+                         "2 to fit wall-clock); 1 = parity mode")
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--max_frame_count", type=int, default=250)
+    ap.add_argument("--num_workers", type=int, default=6,
+                    help="concurrent encoder subprocesses")
+    ap.add_argument("--sample_every", type=float, default=5.0)
+    ap.add_argument("--end_frame", type=int, default=10**9)
+    # smoke-test knobs (CPU-runnable soak of the soak harness itself)
+    ap.add_argument("--input_size", type=int, default=518)
+    ap.add_argument("--compute_dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"])
+    args = ap.parse_args()
+
+    honor_platform_env()
+    done = watch_backend_init()
+
+    workdir = os.path.abspath(args.workdir)
+    os.makedirs(workdir, exist_ok=True)
+    if shutil.which("ffmpeg") and shutil.which("ffprobe"):
+        encoder_note = "host ffmpeg"
+    else:
+        encoder_note = _install_double(workdir)
+
+    subclip_dir = os.path.join(workdir, "Subclip") + os.sep
+    debug_dir = os.path.join(workdir, "Debug") + os.sep
+    out_path = os.path.join(workdir, "out.mkv")
+
+    require_backend(done)
+    import jax
+
+    from vr_video_generator_tpu.cli import main as cli_main
+    from vr_video_generator_tpu.video.check import check_subclips
+    from vr_video_generator_tpu.video.combine import verify_frame_count
+    from vr_video_generator_tpu.video.reader import probe_video
+
+    _, n_frames, w, h = probe_video(args.video)
+    end_frame = min(args.end_frame, n_frames)
+    print(f"soak: {end_frame} frames at {w}x{h}, stride {args.depth_stride}, "
+          f"{args.num_workers} encoders via {encoder_note}, "
+          f"backend={jax.default_backend()}", flush=True)
+
+    sampler = Sampler(subclip_dir, args.sample_every)
+    sampler.start()
+    t0 = time.time()
+    rc = cli_main([
+        "--VideoDir", args.video, "--OutputDir", out_path,
+        "--DebugDir", debug_dir, "--SubClipDir", subclip_dir,
+        "--Max_Frame_Count", str(args.max_frame_count),
+        "--batch_size", str(args.batch_size),
+        "--depth_stride", str(args.depth_stride),
+        "--stride_audit_every", "200",
+        "--Num_Workers", str(args.num_workers),
+        "--end_frame", str(end_frame),
+        "--input_size", str(args.input_size),
+        "--compute_dtype", args.compute_dtype,
+        "--allow_random_weights",
+    ])
+    wall_s = time.time() - t0
+    sampler.stop()
+    sampler.join()
+
+    # conversion-phase boundary = the last subclip's mtime (combine follows)
+    clip_files = sorted(
+        (os.path.getmtime(os.path.join(subclip_dir, f)), f)
+        for f in os.listdir(subclip_dir) if f.endswith(".mp4"))
+    mtimes = [m for m, _ in clip_files]
+    convert_s = (mtimes[-1] - t0) if mtimes else 0.0
+    cadences = [b - a for a, b in zip(mtimes, mtimes[1:]) if b > a]
+    clip_fps = [args.max_frame_count / c for c in cadences] if cadences else []
+    half = len(clip_fps) // 2
+
+    conv_samples = [s for s in sampler.samples if s["t"] <= convert_s]
+    second_half = [s for s in conv_samples if s["t"] >= convert_s / 2]
+    rss_slope = _slope_per_hour([s["t"] for s in second_half],
+                                [s["rss_mb"] for s in second_half])
+    dev = [s["device_mb"] for s in conv_samples if s["device_mb"] is not None]
+
+    issues = check_subclips(subclip_dir)
+    diff = verify_frame_count(args.video, out_path)
+
+    artifact = {
+        "frames": end_frame,
+        "resolution": f"{w}x{h}",
+        "depth_stride": args.depth_stride,
+        "encoder_io": encoder_note,
+        "rc": rc,
+        "wall_s": round(wall_s, 1),
+        "convert_s": round(convert_s, 1),
+        "combine_s": round(wall_s - convert_s, 1),
+        "fps_e2e_convert": round(end_frame / convert_s, 2) if convert_s else 0,
+        "clip_fps": {
+            "clips": len(clip_fps),
+            "p10": _pct(clip_fps, 10) if clip_fps else 0,
+            "p50": _pct(clip_fps, 50) if clip_fps else 0,
+            "p90": _pct(clip_fps, 90) if clip_fps else 0,
+            "first_half_p50": _pct(clip_fps[:half], 50) if half else 0,
+            "second_half_p50": _pct(clip_fps[half:], 50) if half else 0,
+        },
+        "rss_mb": {
+            "start": conv_samples[0]["rss_mb"] if conv_samples else 0,
+            "end": conv_samples[-1]["rss_mb"] if conv_samples else 0,
+            "peak": max((s["rss_mb"] for s in sampler.samples), default=0),
+            "slope_mb_per_hour_2nd_half": round(rss_slope, 1),
+        },
+        "device_mb": {
+            "available": bool(dev),
+            "start": round(dev[0], 1) if dev else None,
+            "end": round(dev[-1], 1) if dev else None,
+            "peak": round(max(dev), 1) if dev else None,
+        },
+        "checker_issues": [str(i) for i in issues],
+        "frame_count_diff": diff,
+        "samples": sampler.samples[::max(1, len(sampler.samples) // 240)],
+    }
+    with open(args.out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    ok = (rc == 0 and not issues and diff == 0)
+    print(json.dumps({k: v for k, v in artifact.items() if k != "samples"},
+                     indent=1), flush=True)
+    print(f"soak {'PASS' if ok else 'FAIL'} -> {args.out}", flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -39,7 +39,12 @@ Failure-injection knobs (env vars, read by the ENCODE job only):
   FAKE_FFMPEG_DIE_AFTER=N    exit(3) after N frames WITHOUT draining stdin —
                              encoder death mid-stream (writer sees EPIPE);
   FAKE_FFMPEG_EXIT=N         consume everything, then exit N — failed
-                             finalize (writer must refuse at the reap).
+                             finalize (writer must refuse at the reap);
+  FAKE_FFMPEG_SPOOL=1        drain stdin to a disk spool at pipe speed and
+                             encode afterwards — models real ffmpeg's
+                             faster-than-encode stdin consumption so
+                             SubclipWriter's max_concurrent encoder overlap
+                             behaves as in production (used by the soak).
 """
 
 from __future__ import annotations
@@ -209,11 +214,25 @@ def _job_encode_pipe(inp, out):
     out_dir = os.path.dirname(os.path.abspath(out["path"]))
     if not os.path.isdir(out_dir):
         _err(f"{out['path']}: No such file or directory")
+    spool_path = None
+    if os.environ.get("FAKE_FFMPEG_SPOOL"):
+        # Drain stdin to disk at pipe speed, encode afterwards: real ffmpeg
+        # consumes stdin much faster than its encoder finishes the file, so
+        # the producer unblocks early and max_concurrent children overlap.
+        spool_path = out["path"] + ".rawspool"
+        with open(spool_path, "wb") as sp:
+            while True:
+                chunk = sys.stdin.buffer.read(1 << 20)
+                if not chunk:
+                    break
+                sp.write(chunk)
+        stdin = open(spool_path, "rb")
+    else:
+        stdin = sys.stdin.buffer
     writer = cv2.VideoWriter(out["path"], cv2.VideoWriter_fourcc(*"mp4v"),
                              fps, (w, h))
     if not writer.isOpened():
         _err(f"could not open encoder for {out['path']}")
-    stdin = sys.stdin.buffer
     n = 0
     while True:
         if die_after >= 0 and n >= die_after:
@@ -237,6 +256,9 @@ def _job_encode_pipe(inp, out):
         if slow:
             time.sleep(slow)
     writer.release()
+    if spool_path:
+        stdin.close()
+        os.remove(spool_path)
     sys.exit(int(os.environ.get("FAKE_FFMPEG_EXIT", 0) or 0))
 
 
