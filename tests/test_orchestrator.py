@@ -308,3 +308,65 @@ def test_combine_only_modes_skip_backend_probe(env, monkeypatch):
     assert probes == []
     _, frames, w, h = probe_video(cfg.output_dir)
     assert (frames, w, h) == (12, 2 * W, H)
+
+
+def test_overflow_surfaces_through_run_and_reports(tmp_path, monkeypatch,
+                                                   capsys):
+    """VERDICT r3 #8: over-cap depth driven through the CLI-level run() must
+    produce (a) a user-visible stdout warning with the clamp count and the
+    recalibration hint, (b) a machine-readable OVERFLOW.jsonl in the debug
+    dir, and (c) the same warning in the checktool report and the GUI
+    integrity view — an operator never has to read per-segment logs.
+    (The reference's equivalent condition is silently unbounded,
+    PredictAndGenerate.py:101-118.)"""
+    from vr_video_generator_tpu.utils import config as cfgmod
+    from vr_video_generator_tpu.utils.logging import (overflow_path,
+                                                      summarize_overflow)
+
+    video = tmp_path / "in.mp4"
+    write_synthetic_video(video, 8, h=H, w=W)
+    # a huge scaler lands every frame's scaled depth over limit_step_cap
+    monkeypatch.setitem(cfgmod.DEPTH_SCALERS, "vits", 1e6)
+    cfg = RunConfig(
+        video_dir=str(video), output_dir=str(tmp_path / "out.mkv"),
+        debug_dir=str(tmp_path / "Debug") + os.sep,
+        subclip_dir=str(tmp_path / "Subclip") + os.sep,
+        max_frame_count=4, batch_size=4, input_size=56,
+        compute_dtype="float32", warmup_frames=0,
+    )
+    orchestrator.run(cfg, allow_random=True)
+
+    out = capsys.readouterr().out
+    assert "exceeded limit_step_cap" in out
+    assert "recalibrate" in out.lower() and "(vits)" in out
+    total, n_recs = summarize_overflow(overflow_path(cfg.debug_dir))
+    assert total >= 1 and n_recs >= 1
+
+    # checktool report mode surfaces it without touching segment logs
+    from vr_video_generator_tpu.checktool import main as checktool_main
+    rc = checktool_main(["--SubClipDir", cfg.subclip_dir,
+                         "--DebugDir", cfg.debug_dir])
+    assert rc == 0
+    tool_out = capsys.readouterr().out
+    assert "OK: no issues" in tool_out
+    assert f"exceeded limit_step_cap on {total} frame(s)" in tool_out
+
+    # GUI integrity view (tkapp Verify Integrity -> integrity_report)
+    from vr_video_generator_tpu.ui.app import integrity_report
+    report = integrity_report(cfg.subclip_dir, cfg.video_dir,
+                              debug_dir=cfg.debug_dir)
+    assert f"exceeded limit_step_cap on {total} frame(s)" in report
+    assert "OVERFLOW.jsonl" in report
+
+
+def test_no_overflow_no_warning(env, capsys):
+    """Clean runs must stay quiet: no OVERFLOW.jsonl, no warning anywhere."""
+    from vr_video_generator_tpu.ui.app import integrity_report
+    from vr_video_generator_tpu.utils.logging import overflow_path
+
+    cfg, pipeline = env
+    orchestrator.convert_range(cfg, 0, 12, pipeline=pipeline)
+    assert not os.path.exists(overflow_path(cfg.debug_dir))
+    report = integrity_report(cfg.subclip_dir, cfg.video_dir,
+                              debug_dir=cfg.debug_dir)
+    assert "limit_step_cap" not in report

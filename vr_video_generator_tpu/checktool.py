@@ -24,9 +24,23 @@ def main(argv: Optional[List[str]] = None) -> int:
     parser = argparse.ArgumentParser(prog="vr_video_generator_tpu.checktool")
     parser.add_argument("--SubClipDir", type=str, required=True)
     parser.add_argument("--repair_mode", type=int, default=0)
+    parser.add_argument("--DebugDir", type=str, default="",
+                        help="also report the run's depth-overflow records "
+                             "(OVERFLOW.jsonl) from this debug dir")
     args, rest = parser.parse_known_args(argv)
 
     from vr_video_generator_tpu.video.check import check_subclips
+
+    def report_overflow() -> None:
+        if not args.DebugDir:
+            return
+        from vr_video_generator_tpu.utils.logging import (overflow_message,
+                                                          overflow_path,
+                                                          summarize_overflow)
+
+        total, _ = summarize_overflow(overflow_path(args.DebugDir))
+        if total:
+            print(overflow_message(total))
 
     if args.repair_mode == 0:
         issues = check_subclips(args.SubClipDir)
@@ -35,16 +49,25 @@ def main(argv: Optional[List[str]] = None) -> int:
                   f"repair range {issue.repair_range}")
         if not issues:
             print(f"OK: no issues in {args.SubClipDir}")
+        report_overflow()
         return 0
 
     from vr_video_generator_tpu.cli import parse_run_config
     from vr_video_generator_tpu.runtime.orchestrator import check_and_repair
 
+    # our own --DebugDir flag consumed the value; hand it back to the run
+    # config so repair segments log (and record overflow) in the right dir
+    debug = ["--DebugDir", args.DebugDir] if args.DebugDir else []
     cfg, cli_args = parse_run_config(
-        rest + ["--SubClipDir", args.SubClipDir, "--repair_mode", "1"])
+        rest + debug + ["--SubClipDir", args.SubClipDir,
+                        "--repair_mode", "1"])
     issues = check_and_repair(cfg, repair=True,
                               allow_random=cli_args.allow_random_weights)
     print(f"repaired {len(issues)} issue(s)")
+    if not issues:
+        # check_and_repair already summarized overflow when it repaired;
+        # still surface a prior run's records on a clean check
+        report_overflow()
     return 0
 
 

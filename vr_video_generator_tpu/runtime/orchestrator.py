@@ -26,7 +26,9 @@ from typing import Optional
 from vr_video_generator_tpu.pipeline import SbsPipeline
 from vr_video_generator_tpu.utils.config import RunConfig
 from vr_video_generator_tpu.utils.fsutil import create_folder_if_not_exist, remove_all_files
-from vr_video_generator_tpu.utils.logging import WorkerLog
+from vr_video_generator_tpu.utils.logging import (WorkerLog, overflow_message,
+                                                  overflow_path, print_flush,
+                                                  summarize_overflow)
 from vr_video_generator_tpu.video.check import check_subclips
 from vr_video_generator_tpu.video.combine import combine_clips
 from vr_video_generator_tpu.video.reader import VideoReader, probe_video
@@ -103,7 +105,8 @@ def convert_range(cfg: RunConfig, begin: int, end: int,
                                    profile_csv=profile_csv,
                                    initial_state=init_state,
                                    discard_first=begin - proc_begin,
-                                   discard_last=proc_end - end)
+                                   discard_last=proc_end - end,
+                                   overflow_path=overflow_path(cfg.debug_dir))
     except Exception as e:  # error funnel parity (reference :259-272)
         log.error(f"Segment {begin} failed", e,
                   error_path=os.path.join(cfg.debug_dir, "ERROR.txt"))
@@ -139,7 +142,8 @@ def _convert_range_sharded(cfg: RunConfig, begin: int, end: int,
                            batch_size=cfg.batch_size, log=log,
                            reader_backend=cfg.reader_backend,
                            writer_backend=cfg.writer_backend,
-                           warmup=cfg.warmup_frames)
+                           warmup=cfg.warmup_frames,
+                           overflow_path=overflow_path(cfg.debug_dir))
     except Exception as e:  # error funnel parity (reference :259-272)
         log.error("Sharded conversion failed", e,
                   error_path=os.path.join(cfg.debug_dir, "ERROR.txt"))
@@ -174,6 +178,13 @@ def run(cfg: RunConfig, allow_random: bool = False) -> None:
         with trace(cfg.profile_dir or None):
             convert_range(cfg, cfg.start_frame, cfg.end_frame,
                           allow_random=allow_random)
+        # Run-level overflow summary: an operator must see "N frames
+        # clamped" on stdout without reading per-segment logs (the
+        # reference's equivalent condition is silently unbounded,
+        # PredictAndGenerate.py:101-118).
+        total, _ = summarize_overflow(overflow_path(cfg.debug_dir))
+        if total:
+            print_flush(overflow_message(total, cfg.encoder))
     if cfg.repair_mode in (0, 2):
         combine_clips(cfg.subclip_dir, cfg.video_dir, cfg.output_dir,
                       just_combine=0)
@@ -205,4 +216,8 @@ def check_and_repair(cfg: RunConfig, repair: bool = True,
             lo, hi = issue.repair_range
             convert_range(cfg, lo, hi, allow_random=allow_random,
                           pipeline=pipeline)
+        if issues:
+            total, _ = summarize_overflow(overflow_path(cfg.debug_dir))
+            if total:
+                print_flush(overflow_message(total, cfg.encoder))
     return issues

@@ -26,6 +26,7 @@ import numpy as np
 
 from vr_video_generator_tpu.pipeline import SbsPipeline
 from vr_video_generator_tpu.utils.logging import (ProgressMeter, WorkerLog,
+                                                  record_overflow,
                                                   stride_audit_line)
 from vr_video_generator_tpu.video.reader import VideoReader
 from vr_video_generator_tpu.video.writer import SubclipWriter
@@ -93,7 +94,8 @@ def process_segment(pipeline: SbsPipeline, reader: VideoReader,
                     timer: Optional["StageTimer"] = None,
                     profile_csv: Optional[str] = None,
                     initial_state=None, discard_first: int = 0,
-                    discard_last: int = 0) -> int:
+                    discard_last: int = 0,
+                    overflow_path: Optional[str] = None) -> int:
     """Convert frames [begin, end); returns the number of frames written.
 
     ``discard_first`` / ``discard_last``: decode and process that many
@@ -197,6 +199,8 @@ def process_segment(pipeline: SbsPipeline, reader: VideoReader,
         log.write(f"WARNING: scaled depth exceeded limit_step_cap on "
                   f"{overflow} frames (clamped; check the encoder's "
                   f"depth_scaler)")
+        # machine-readable record for the run summary / checktool / GUI
+        record_overflow(overflow_path, begin, end, overflow)
     if profile_csv:
         timer.dump_csv(profile_csv)
     log.write("Worker ending")

@@ -25,6 +25,7 @@ import numpy as np
 from vr_video_generator_tpu.parallel.sharded import ShardedSbsPipeline
 from vr_video_generator_tpu.runtime.segment import EmitWindow
 from vr_video_generator_tpu.utils.logging import (ProgressMeter, WorkerLog,
+                                                  record_overflow,
                                                   stride_audit_line)
 from vr_video_generator_tpu.video.reader import VideoReader, probe_video
 from vr_video_generator_tpu.video.writer import SubclipWriter, get_ffmpeg_config
@@ -161,7 +162,8 @@ def run_sharded(pipeline: ShardedSbsPipeline, video_path: str,
                 log: Optional[WorkerLog] = None,
                 reader_backend: str = "auto",
                 writer_backend: str = "auto",
-                warmup: int = 0) -> int:
+                warmup: int = 0,
+                overflow_path: "Optional[str]" = None) -> int:
     """Convert frames [start, end) with n_data concurrent segments.
 
     Multi-host aware: every process runs the same (globally uniform) step
@@ -324,6 +326,9 @@ def run_sharded(pipeline: ShardedSbsPipeline, video_path: str,
         log.write(f"WARNING: scaled depth exceeded limit_step_cap on "
                   f"{overflow} frames (clamped; check the encoder's "
                   f"depth_scaler)")
+        # machine-readable record for the run summary / checktool / GUI
+        # (multi-host: each process records its owned slots' total)
+        record_overflow(overflow_path, start, end, overflow)
     log.write("Sharded runner ending")
     return frames_done
 

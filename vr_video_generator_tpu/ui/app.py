@@ -168,13 +168,15 @@ def run_app(input_fn=input, print_fn=print) -> None:  # pragma: no cover - inter
                      "repair/quit")
 
 
-def integrity_report(subclip_dir: str, video_dir: str = "") -> str:
+def integrity_report(subclip_dir: str, video_dir: str = "",
+                     debug_dir: str = "") -> str:
     """Human-readable subclip integrity report for the UI "Verify Integrity"
     action. The reference GUI has this button but never implemented it
     (reference UserInterface.py:276, callback=None) — here it runs the real
     checker (video/check.py, the reference Check_Clips.py logic) plus a
     coverage summary against the source video, and suggests the exact
-    --repair_mode 1 command for anything broken."""
+    --repair_mode 1 command for anything broken. With ``debug_dir`` it also
+    surfaces the run's depth-overflow records (clamped frames)."""
     from vr_video_generator_tpu.video.check import (check_subclips,
                                                     parse_clip_name)
     from vr_video_generator_tpu.video.combine import sorted_subclips
@@ -193,11 +195,13 @@ def integrity_report(subclip_dir: str, video_dir: str = "") -> str:
         return (f"cannot parse subclip names in {subclip_dir}: {exc} — "
                 "expected '{begin}_{end_inclusive}.mp4'")
     return _integrity_report_body(subclip_dir, video_dir, check_subclips,
-                                  parse_clip_name, sorted_subclips)
+                                  parse_clip_name, sorted_subclips,
+                                  debug_dir=debug_dir)
 
 
 def _integrity_report_body(subclip_dir, video_dir, check_subclips,
-                           parse_clip_name, sorted_subclips) -> str:
+                           parse_clip_name, sorted_subclips,
+                           debug_dir: str = "") -> str:
     names = sorted_subclips(subclip_dir)
     if not names:
         return f"no subclips in {subclip_dir}"
@@ -232,6 +236,17 @@ def _integrity_report_body(subclip_dir, video_dir, check_subclips,
         else:
             lines.append(f"coverage: frames [{first_begin}, {last_end}] of "
                          f"{n_frames} source frames")
+
+    if debug_dir:
+        from vr_video_generator_tpu.utils.logging import (overflow_message,
+                                                          overflow_path,
+                                                          summarize_overflow)
+
+        total, n_recs = summarize_overflow(overflow_path(debug_dir))
+        if total:
+            lines.append(overflow_message(total))
+            lines.append(f"  ({n_recs} affected range(s) recorded in "
+                         f"{overflow_path(debug_dir)})")
     return "\n".join(lines)
 
 

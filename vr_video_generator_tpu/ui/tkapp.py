@@ -140,7 +140,8 @@ class FormModel:
         "Verify Integrity" button (reference UserInterface.py:276,
         callback=None)."""
         return integrity_report(self.fields["SubClipDir"],
-                                self.fields["VideoDir"])
+                                self.fields["VideoDir"],
+                                debug_dir=self.fields["DebugDir"])
 
 
 def run_app() -> int:  # pragma: no cover - needs a display

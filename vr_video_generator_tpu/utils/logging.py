@@ -99,6 +99,60 @@ class ProgressMeter:
         self.log.write(str(int(steps_taken / self.total_steps * 10000) / 100), " %")
 
 
+OVERFLOW_FILE = "OVERFLOW.jsonl"
+
+
+def overflow_path(debug_dir: str) -> str:
+    return os.path.join(debug_dir, OVERFLOW_FILE)
+
+
+def record_overflow(path: Optional[str], begin: int, end: int,
+                    count: int) -> None:
+    """Append one machine-readable depth-overflow record.
+
+    The in-graph clamp (ops/temporal.py) counts frames whose scaled depth
+    exceeded StereoConfig.limit_step_cap; the runtimes log a per-segment
+    warning, and this record lets the RUN-level summary, the checktool, and
+    the GUI integrity view surface the total without reading per-segment
+    logs — the reference's equivalent condition is silently unbounded
+    (reference PredictAndGenerate.py:101-118 cutoff_list)."""
+    if not path or count <= 0:
+        return
+    import json
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "a") as f:
+        f.write(json.dumps({"begin": int(begin), "end": int(end),
+                            "overflow": int(count)}) + "\n")
+
+
+def summarize_overflow(path: str) -> tuple[int, int]:
+    """(total clamped frames, record count); (0, 0) when no records exist.
+    Malformed lines (e.g. a crashed writer's partial tail) are skipped."""
+    import json
+    total = n = 0
+    try:
+        with open(path) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                    total += int(rec["overflow"])
+                    n += 1
+                except (ValueError, KeyError, TypeError):
+                    continue
+    except OSError:
+        return 0, 0
+    return total, n
+
+
+def overflow_message(total: int, encoder: str = "") -> str:
+    """The one user-visible wording for the depth-overflow condition."""
+    enc = f" ({encoder})" if encoder else ""
+    return (f"WARNING: scaled depth exceeded limit_step_cap on {total} "
+            f"frame(s) — clamped in-graph; depth detail past the cap is "
+            f"flattened. Recalibrate the encoder's depth_scaler{enc} "
+            f"(utils/config.py) or raise StereoConfig.limit_step_cap.")
+
+
 def stride_audit_line(lo: int, hi: int, rms: float, mx: float, cap: int,
                       slot: int | None = None) -> str:
     """One shared format for the sampled stride-fidelity audit — the
