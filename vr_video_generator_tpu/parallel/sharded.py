@@ -58,7 +58,12 @@ class ShardedSbsPipeline:
     """
 
     def __init__(self, model: DepthAnythingV2, params, height: int, width: int,
-                 mesh: Mesh, run_cfg: Optional[RunConfig] = None):
+                 mesh: Mesh, run_cfg: Optional[RunConfig] = None,
+                 interpret: bool = False):
+        # interpret: run pallas kernels in interpreter mode — lets the
+        # multi-chip dryrun exercise the packed/pallas emit arm on a virtual
+        # CPU mesh (never set in production).
+        self._interpret = interpret
         self.run_cfg = run_cfg or RunConfig(encoder=model.cfg.encoder)
         self.model = model
         self.mesh = mesh
@@ -179,7 +184,8 @@ class ShardedSbsPipeline:
         # info, so the replication checker cannot run across the kernel.
         sbs = jax.shard_map(
             functools.partial(_local_warp, spec=self.spec,
-                              emit=self.sbs_emit), mesh=self.mesh,
+                              emit=self.sbs_emit,
+                              interpret=self._interpret), mesh=self.mesh,
             in_specs=(P("data"), P("data"), P("data")), out_specs=P("data"),
             check_vma=False,
         )(frames_u8, blended.reshape(n, h, w), ranges.reshape(n, 2))
