@@ -83,6 +83,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "also run the depth net on all frames and log the "
                         "lerp-vs-true raw-depth rms/max to the worker log "
                         "(sampled fidelity evidence; 0 = off)")
+    p.add_argument("--stride_max_rms", type=float, default=0.0,
+                   help="with --depth_stride > 1: make the stride self-"
+                        "protecting — drop to full per-frame depth whenever "
+                        "the sampled lerp-vs-true rms (scaled units) exceeds "
+                        "this, re-raise when it subsides; probes every "
+                        "--stride_audit_every batches (default 8 when this "
+                        "is set). 0 = fixed stride (audit only observes)")
+    p.add_argument("--stride_hold", type=int, default=4,
+                   help="minimum consecutive full-depth batches after an "
+                        "adaptive-stride trigger before re-raising")
     p.add_argument("--warmup_frames", type=int, default=32,
                    help="decode this many frames before each segment start "
                         "to prime the temporal smoothing state (0 = "
@@ -137,6 +147,7 @@ def parse_run_config(argv: Optional[List[str]] = None
         writer_backend=args.writer_backend, warmup_frames=args.warmup_frames,
         depth_stride=args.depth_stride,
         stride_audit_every=args.stride_audit_every,
+        stride_max_rms=args.stride_max_rms, stride_hold=args.stride_hold,
         profile_dir=args.profile_dir, mesh_shape=mesh_shape,
     )
     return cfg, args

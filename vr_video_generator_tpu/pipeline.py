@@ -151,6 +151,47 @@ class SbsPipeline:
         return state._replace(overflow=state.overflow * 0)
 
     @functools.cached_property
+    def _step_audited(self):
+        return jax.jit(self._step_audited_impl, donate_argnums=(2,))
+
+    def _step_audited_impl(self, params, frames_u8: jnp.ndarray,
+                           state: TemporalState, n_valid=None):
+        """Full per-frame depth step THAT ALSO reports the stride error.
+
+        The adaptive-stride fallback program (depth_stride > 1 only): depth
+        runs on every frame (full fidelity — this is what the stride mode
+        falls back to), the lerp-vs-true stats say what the stride path
+        WOULD have erred on this batch given the carried anchor (the probe
+        and re-raise signal, priced at one cheap subtraction since the full
+        depth is computed anyway), and ``anchor_prev`` is maintained on the
+        absolute grid (batch % stride == 0, so the batch's last frame IS an
+        anchor position) — re-raising the stride later is seamless.
+        """
+        s = self.run_cfg.depth_stride
+        true = infer_depth(self.model, params, frames_u8,
+                           input_size=self.run_cfg.input_size,
+                           preprocess=self.preprocess_impl)
+        rms, mx = stride_audit_stats(true, state, s)  # pre-step anchor carry
+        blended, ranges, state = temporal_scan(true, state, self.spec,
+                                               n_valid=n_valid)
+        # unclamped raw, exactly like stride_interpolate's anchors[-1]
+        state = state._replace(anchor_prev=true[-1])
+        sbs = self.spec.warp_batch(frames_u8, blended, ranges,
+                                   emit=self.sbs_emit)
+        return sbs, state, rms, mx
+
+    def step_audited(self, frames_u8, state: TemporalState,
+                     n_valid: Optional[int] = None):
+        """(sbs, state', stride_rms, stride_max) — full-depth batch for the
+        adaptive-stride runtime (see RunConfig.stride_max_rms). Donates
+        ``state`` like step()."""
+        if self.run_cfg.depth_stride < 2:
+            raise ValueError("step_audited requires depth_stride > 1")
+        sbs, state, rms, mx = self._step_audited(
+            self.params, jnp.asarray(frames_u8), state, n_valid)
+        return sbs, state, float(rms), float(mx)
+
+    @functools.cached_property
     def _stride_audit_fn(self):
         s = self.run_cfg.depth_stride
 

@@ -139,8 +139,20 @@ def process_segment(pipeline: SbsPipeline, reader: VideoReader,
             clip_begin += len(chunk)
             clips_written += 1
 
-    audit_every = pipeline.run_cfg.stride_audit_every
-    audit_on = audit_every > 0 and pipeline.run_cfg.depth_stride > 1
+    run_cfg = pipeline.run_cfg
+    stride = run_cfg.depth_stride
+    audit_every = run_cfg.stride_audit_every
+    # Adaptive stride (RunConfig.stride_max_rms): the sampled audit signal
+    # ACTS — probe batches run the audited full-depth program; when the
+    # probed rms exceeds the threshold the loop stays on full depth (every
+    # batch audited, so the re-raise signal is free) until the error
+    # subsides for stride_hold consecutive batches.
+    adaptive = stride > 1 and run_cfg.stride_max_rms > 0
+    if adaptive and audit_every <= 0:
+        audit_every = 8  # documented probe-cadence default (cli.py)
+    audit_on = audit_every > 0 and stride > 1
+    mode_full = False
+    hold = 0
     batch_idx = 0
     window = EmitWindow(discard_first, end - begin)
 
@@ -158,20 +170,45 @@ def process_segment(pipeline: SbsPipeline, reader: VideoReader,
         if n_real < batch_size:
             pad = np.repeat(batch[-1:], batch_size - n_real, axis=0)
             batch = np.concatenate([batch, pad], axis=0)
-        # Sampled stride-fidelity audit (full batches only — padded copies
-        # would skew the error stats). Read-only, so it must run before the
-        # step donates the state; syncs the device for this batch, which is
-        # why it is sampled (RunConfig.stride_audit_every).
-        if audit_on and n_real == batch_size and batch_idx % audit_every == 0:
-            with timer.stage("stride_audit"):
-                rms, mx = pipeline.stride_audit(batch, state)
-            log.write(stride_audit_line(stream_base + frames_done,
-                                        stream_base + frames_done + n_real,
-                                        rms, mx,
-                                        pipeline.spec.cfg.limit_step_cap))
-        batch_idx += 1
-        with timer.stage("device_dispatch"):
-            sbs_dev, state = pipeline.step(batch, state, n_valid=n_real)
+        lo = stream_base + frames_done
+        # Audits observe only on full batches — padded copies skew the
+        # error stats. (Adaptive full-depth batches still RUN on a short
+        # final batch for output fidelity; they just don't transition.)
+        probe = (audit_on and n_real == batch_size
+                 and batch_idx % audit_every == 0)
+        if adaptive and (mode_full or probe):
+            with timer.stage("device_dispatch"):
+                sbs_dev, state, rms, mx = pipeline.step_audited(
+                    batch, state, n_valid=n_real)
+            if n_real == batch_size:
+                log.write(stride_audit_line(
+                    lo, lo + n_real, rms, mx,
+                    pipeline.spec.cfg.limit_step_cap))
+                if rms > run_cfg.stride_max_rms:
+                    if not mode_full:
+                        log.write(f"adaptive stride: dropped to full depth "
+                                  f"at frame {lo} (rms {rms:.4f} > "
+                                  f"{run_cfg.stride_max_rms})")
+                    mode_full = True
+                    hold = max(1, run_cfg.stride_hold)
+                elif mode_full:
+                    hold -= 1
+                    if hold <= 0:
+                        mode_full = False
+                        log.write(f"adaptive stride: re-raised to stride "
+                                  f"{stride} at frame {lo + n_real} (rms "
+                                  f"{rms:.4f} <= {run_cfg.stride_max_rms})")
+        else:
+            # Sampled observe-only audit (read-only; must run before the
+            # step donates the state; syncs the device, hence sampled).
+            if probe and not adaptive:
+                with timer.stage("stride_audit"):
+                    rms, mx = pipeline.stride_audit(batch, state)
+                log.write(stride_audit_line(
+                    lo, lo + n_real, rms, mx,
+                    pipeline.spec.cfg.limit_step_cap))
+            with timer.stage("device_dispatch"):
+                sbs_dev, state = pipeline.step(batch, state, n_valid=n_real)
         if prev_sbs is not None:
             sbs_np, n_prev = prev_sbs
             with timer.stage("device_readback"):
@@ -181,6 +218,7 @@ def process_segment(pipeline: SbsPipeline, reader: VideoReader,
                 flush(force=False)
         prev_sbs = (sbs_dev, n_real)
         frames_done += n_real
+        batch_idx += 1
         if frames_done % (batch_size * report_every) == 0:
             meter.report(frames_done)
 

@@ -217,6 +217,19 @@ class RunConfig:
     # ~1/N of the cost stride saves. 0 = off; only meaningful with
     # depth_stride > 1. Single-chip and sharded runtimes (per-slot lines).
     stride_audit_every: int = 0
+    # Adaptive depth-stride (self-protecting production mode): with
+    # depth_stride > 1 and stride_max_rms > 0, the segment runtime probes
+    # the lerp-vs-true depth error every stride_audit_every batches (the
+    # existing sampled audit) and DROPS to full per-frame depth whenever the
+    # probed rms exceeds this threshold (scaled raw-depth units), re-raising
+    # the stride once the error subsides for stride_hold consecutive
+    # batches. The full-depth fallback batches keep the absolute anchor
+    # grid (batch % stride == 0), so returning to stride mode is seamless.
+    # 0 = off (fixed stride; audit logs but never acts — round-3 behavior).
+    stride_max_rms: float = 0.0
+    # Minimum consecutive full-depth batches after a trigger before the
+    # stride may re-raise (anti-thrash hold).
+    stride_hold: int = 4
     # Halo warm-up: decode this many frames before each segment start to
     # prime the temporal state (the reference resets per segment — a known
     # smoothing discontinuity). The 2-tap depth history is exact after 2
