@@ -144,11 +144,121 @@ def _pct(vals: list[float], q: float) -> float:
     return round(float(np.percentile(vals, q)), 2)
 
 
+def device_soak(args) -> int:
+    """Device-side endurance at full production cadence: loop the REAL
+    pipeline step over ``--device_only`` frames on the chip, keeping SBS
+    output on-device (a scalar checksum readback every few batches bounds
+    the dispatch queue). The e2e CLI soak on this host is capped at ~0.5
+    fps by the axon tunnel's ~6 MB/s device->host readback (a relay
+    artifact, docs/BENCHLOG.md round 2 — a real TPU host does PCIe), so
+    100k-frame device-memory endurance is only reachable this way; the
+    wall-bounded e2e soak covers host RSS + subclip cadence."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vr_video_generator_tpu.utils.config import RunConfig
+    from vr_video_generator_tpu.pipeline import SbsPipeline
+    from vr_video_generator_tpu.video.reader import VideoReader, probe_video
+
+    n_frames = args.device_only
+    b = args.batch_size
+    _, n_src, w, h = probe_video(args.video)
+    reader = VideoReader(args.video, 0)
+    feed = []
+    for _ in range(8):  # rotating real-content batches
+        frames = [reader.read() for _ in range(b)]
+        if any(f is None for f in frames):
+            raise RuntimeError("source video too short for the feed buffer")
+        feed.append(jax.device_put(jnp.asarray(np.stack(frames))))
+    reader.close()
+
+    run_cfg = RunConfig(encoder="vits", batch_size=b,
+                        depth_stride=args.depth_stride,
+                        input_size=args.input_size,
+                        compute_dtype=args.compute_dtype)
+    pipe = SbsPipeline.create(run_cfg, h, w, allow_random=True)
+    state = pipe.initial_state()
+    sbs, state = pipe.step(feed[0], state)  # compile
+    float(jnp.sum(jnp.asarray(sbs, jnp.float32)[0, 0]))
+
+    samples: list[dict] = []
+    sample_every = max(4, (n_frames // b) // 200)
+    t0 = time.time()
+    done = 0
+    batch_i = 0
+    step_times: list[float] = []
+    tb = time.time()
+    while done < n_frames:
+        sbs, state = pipe.step(feed[batch_i % len(feed)], state)
+        batch_i += 1
+        done += b
+        if batch_i % 4 == 0:  # bound the dispatch queue; amortized sync
+            float(jnp.sum(sbs[0, 0].astype(jnp.float32)))
+            now = time.time()
+            step_times.append((now - tb) / (4 * b))
+            tb = now
+        if batch_i % sample_every == 0:
+            samples.append({
+                "t": round(time.time() - t0, 1), "frames": done,
+                "rss_mb": round(_tree_rss_mb(os.getpid()), 1),
+                "device_mb": _device_mem_mb(),
+            })
+    float(jnp.sum(sbs[0, 0].astype(jnp.float32)))
+    wall = time.time() - t0
+
+    dev = [s["device_mb"] for s in samples if s["device_mb"] is not None]
+    ms = [t * 1000 for t in step_times]
+    half = len(ms) // 2
+    artifact = {
+        "mode": "device_only",
+        "frames": done, "resolution": f"{w}x{h}",
+        "depth_stride": args.depth_stride, "batch_size": b,
+        "wall_s": round(wall, 1),
+        "fps_device": round(done / wall, 2),
+        "step_ms_per_frame": {
+            "p10": _pct(ms, 10), "p50": _pct(ms, 50), "p90": _pct(ms, 90),
+            "first_half_p50": _pct(ms[:half], 50) if half else 0,
+            "second_half_p50": _pct(ms[half:], 50) if half else 0,
+        },
+        "rss_mb": {
+            "start": samples[0]["rss_mb"] if samples else 0,
+            "end": samples[-1]["rss_mb"] if samples else 0,
+            "slope_mb_per_hour_2nd_half": round(_slope_per_hour(
+                [s["t"] for s in samples[len(samples) // 2:]],
+                [s["rss_mb"] for s in samples[len(samples) // 2:]]), 1),
+        },
+        "device_mb": {
+            "available": bool(dev),
+            "start": dev[0] if dev else None,
+            "end": dev[-1] if dev else None,
+            "peak": max(dev) if dev else None,
+        },
+        "note": "SBS kept on-device: the axon dev tunnel reads back at "
+                "~6 MB/s (relay artifact, docs/BENCHLOG.md round 2); the "
+                "e2e artifact covers the host I/O tier at its wall rate.",
+        "samples": samples[::max(1, len(samples) // 240)],
+    }
+    with open(args.out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    flat_dev = (not dev) or (dev[-1] <= max(dev[0] * 1.05, dev[0] + 64))
+    ok = done >= n_frames and flat_dev
+    print(json.dumps({k: v for k, v in artifact.items() if k != "samples"},
+                     indent=1), flush=True)
+    print(f"device soak {'PASS' if ok else 'FAIL'} -> {args.out}", flush=True)
+    return 0 if ok else 1
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--video", default="/tmp/soak_r04/in.mp4")
     ap.add_argument("--workdir", default="/tmp/soak_r04")
     ap.add_argument("--out", default="SOAK_r04.json")
+    ap.add_argument("--device_only", type=int, default=0, metavar="N",
+                    help="loop N frames through the device pipeline only "
+                         "(no SBS readback): device-memory endurance at "
+                         "production cadence despite the relay's ~6 MB/s "
+                         "readback cap")
     ap.add_argument("--depth_stride", type=int, default=2,
                     help="production-mode stride (VERDICT r3 permits stride "
                          "2 to fit wall-clock); 1 = parity mode")
@@ -166,6 +276,10 @@ def main() -> int:
 
     honor_platform_env()
     done = watch_backend_init()
+
+    if args.device_only:
+        require_backend(done)
+        return device_soak(args)
 
     workdir = os.path.abspath(args.workdir)
     os.makedirs(workdir, exist_ok=True)
