@@ -100,10 +100,12 @@ def _device_mem_mb() -> float | None:
 
 
 class Sampler(threading.Thread):
-    def __init__(self, subclip_dir: str, every_s: float):
+    def __init__(self, subclip_dir: str, every_s: float,
+                 partial_out: str | None = None):
         super().__init__(daemon=True)
         self.subclip_dir = subclip_dir
         self.every_s = every_s
+        self.partial_out = partial_out  # crash/truncation-proof trail
         self.samples: list[dict] = []
         self._halt = threading.Event()
 
@@ -121,6 +123,13 @@ class Sampler(threading.Thread):
                 "device_mb": _device_mem_mb(),
                 "subclips": clips,
             })
+            if self.partial_out and len(self.samples) % 12 == 0:
+                try:
+                    with open(self.partial_out, "w") as f:
+                        json.dump({"partial": True,
+                                   "samples": self.samples[-2000:]}, f)
+                except OSError:
+                    pass
             self._halt.wait(self.every_s)
 
     def stop(self) -> None:
@@ -306,7 +315,8 @@ def main() -> int:
           f"{args.num_workers} encoders via {encoder_note}, "
           f"backend={jax.default_backend()}", flush=True)
 
-    sampler = Sampler(subclip_dir, args.sample_every)
+    sampler = Sampler(subclip_dir, args.sample_every,
+                      partial_out=args.out + ".partial")
     sampler.start()
     t0 = time.time()
     rc = cli_main([
