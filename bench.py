@@ -238,14 +238,20 @@ def main() -> None:
             if reps > 1:  # progress without breaking the stdout contract
                 print(f"rep {rep + 1}/{reps} config {c}: "
                       f"{line['value']} fps", file=sys.stderr, flush=True)
-    for c in configs:
-        final = dict(config=c, **lines[c][-1]) if args.all else lines[c][-1]
-        if reps > 1:
+            else:
+                # stream each single-rep result as it lands: a mid-matrix
+                # crash (relay death, OOM on a later config) must not lose
+                # the chip-minutes already measured
+                final = dict(config=c, **line) if args.all else line
+                print(json.dumps(final), flush=True)
+    if reps > 1:
+        for c in configs:
+            final = dict(config=c, **lines[c][-1]) if args.all else lines[c][-1]
             vals = sorted(l["value"] for l in lines[c])
             final["value"] = round(float(np.median(vals)), 2)
             final["vs_baseline"] = round(final["value"] / BASELINE_FPS, 2)
             final["spread"] = {"min": vals[0], "max": vals[-1], "reps": reps}
-        print(json.dumps(final), flush=True)
+            print(json.dumps(final), flush=True)
 
 
 if __name__ == "__main__":

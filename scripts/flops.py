@@ -16,13 +16,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-CONFIGS = {
-    1: ("vits", 480, 854, 8),
-    2: ("vits", 1080, 1920, 8),
-    3: ("vitb", 1080, 1920, 8),
-    4: ("vitl", 1440, 2560, 4),
-    5: ("vitl", 2160, 3840, 4),
-}
+from bench import CONFIGS  # noqa: E402  (single source for config geometry)
 
 
 def main():
@@ -45,7 +39,7 @@ def main():
     from vr_video_generator_tpu.ops.resize import resize_bicubic
     from vr_video_generator_tpu.utils.config import ModelConfig
 
-    encoder_name, h, w, b = CONFIGS[args.config]
+    encoder_name, h, w, b, _step = CONFIGS[args.config]
     cfg = ModelConfig.for_encoder(encoder_name)
     hn, wn = network_input_size(h, w, multiple_of=cfg.patch_size)
     print(f"config {args.config}: {encoder_name} {w}x{h} b={b} "

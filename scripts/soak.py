@@ -31,7 +31,6 @@ import argparse
 import json
 import os
 import shutil
-import stat
 import sys
 import threading
 import time
@@ -45,17 +44,11 @@ from vr_video_generator_tpu.utils.devwatch import (require_backend,  # noqa: E40
 
 def _install_double(workdir: str) -> str:
     """Point VRVG_FFMPEG/VRVG_FFPROBE at the behavioral double (spool mode)."""
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    double = os.path.join(repo, "tests", "fakes", "ffmpeg_double.py")
-    bindir = os.path.join(workdir, "ffbin")
-    os.makedirs(bindir, exist_ok=True)
-    for name in ("ffmpeg", "ffprobe"):
-        shim = os.path.join(bindir, name)
-        with open(shim, "w") as f:
-            f.write(f"#!/bin/sh\nexec '{sys.executable}' '{double}' "
-                    f"{name} \"$@\"\n")
-        os.chmod(shim, os.stat(shim).st_mode | stat.S_IXUSR)
-        os.environ[f"VRVG_{name.upper()}"] = shim
+    from tests.fakes.ffmpeg_double import install_shims
+
+    ffmpeg, ffprobe = install_shims(os.path.join(workdir, "ffbin"))
+    os.environ["VRVG_FFMPEG"] = ffmpeg
+    os.environ["VRVG_FFPROBE"] = ffprobe
     os.environ["FAKE_FFMPEG_SPOOL"] = "1"
     return "behavioral double (spool mode)"
 
@@ -68,9 +61,12 @@ def _tree_rss_mb(root_pid: int) -> float:
             continue
         try:
             with open(f"/proc/{pid_s}/stat") as f:
-                fields = f.read().split()
-            children.setdefault(int(fields[3]), []).append(int(pid_s))
-        except OSError:
+                stat_line = f.read()
+            # comm may contain spaces/parens (e.g. '(rs:main Q:Reg)') —
+            # fields are only well-defined after the LAST ')'
+            fields = stat_line[stat_line.rindex(")") + 2:].split()
+            children.setdefault(int(fields[1]), []).append(int(pid_s))
+        except (OSError, ValueError):
             continue
     total_kb = 0
     stack = [root_pid]

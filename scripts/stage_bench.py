@@ -21,14 +21,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# (encoder, height, width, batch) — mirrors bench.py CONFIGS (sans step,
-# which only changes plane-table density; step 1 is the expensive shape)
-CONFIGS = {
-    2: ("vits", 1080, 1920, 8),
-    3: ("vitb", 1080, 1920, 8),
-    4: ("vitl", 1440, 2560, 4),
-    5: ("vitl", 2160, 3840, 4),
-}
+from bench import CONFIGS  # noqa: E402  (single source for config geometry)
 
 
 def main():
@@ -60,7 +53,7 @@ def main():
     from vr_video_generator_tpu.utils.config import ModelConfig, StereoConfig
 
     on_tpu = jax.default_backend() == "tpu"
-    encoder_name, h, w, b = CONFIGS[args.config]
+    encoder_name, h, w, b, _step = CONFIGS[args.config]
     target = 518
     if not on_tpu:  # CPU smoke shape: tiny geometry, same code path
         h, w, b, target = 270, 480, 2, 126

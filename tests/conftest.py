@@ -16,9 +16,6 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-import stat  # noqa: E402
-import sys  # noqa: E402
-
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
@@ -57,15 +54,10 @@ class FakeFfmpeg:
 def fake_ffmpeg(tmp_path, monkeypatch):
     """Install the behavioral double as THE ffmpeg/ffprobe for this test via
     the VRVG_FFMPEG/VRVG_FFPROBE overrides find_binary honors first."""
-    double = os.path.join(os.path.dirname(__file__), "fakes",
-                          "ffmpeg_double.py")
+    from tests.fakes.ffmpeg_double import install_shims
+
     bindir = tmp_path / "ffbin"
-    bindir.mkdir()
-    for name in ("ffmpeg", "ffprobe"):
-        shim = bindir / name
-        shim.write_text(f"#!/bin/sh\nexec '{sys.executable}' '{double}' "
-                        f"{name} \"$@\"\n")
-        shim.chmod(shim.stat().st_mode | stat.S_IXUSR | stat.S_IXGRP)
+    install_shims(str(bindir))
     handle = FakeFfmpeg(bindir)
     monkeypatch.setenv("VRVG_FFMPEG", handle.ffmpeg)
     monkeypatch.setenv("VRVG_FFPROBE", handle.ffprobe)

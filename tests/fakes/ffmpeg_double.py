@@ -65,6 +65,28 @@ _MP4_OK_SUBS = {"mov_text"}
 SIDECAR_SUFFIX = ".streams.json"
 
 
+def install_shims(bindir):
+    """Write executable ffmpeg/ffprobe shims invoking this double into
+    ``bindir``; returns (ffmpeg_path, ffprobe_path). The ONE place the
+    shim invocation convention lives — tests/conftest.py's fixture and
+    scripts/soak.py both install through here. Callers export
+    VRVG_FFMPEG/VRVG_FFPROBE (and FAKE_FFMPEG_SPOOL=1 when encoder
+    concurrency should match real ffmpeg's stdin draining)."""
+    import stat
+
+    os.makedirs(bindir, exist_ok=True)
+    double = os.path.abspath(__file__)
+    paths = []
+    for name in ("ffmpeg", "ffprobe"):
+        shim = os.path.join(bindir, name)
+        with open(shim, "w") as f:
+            f.write(f"#!/bin/sh\nexec '{sys.executable}' '{double}' "
+                    f"{name} \"$@\"\n")
+        os.chmod(shim, os.stat(shim).st_mode | stat.S_IXUSR | stat.S_IXGRP)
+        paths.append(shim)
+    return tuple(paths)
+
+
 def make_sidecar(path, audio=0, subs=(), chapters=0, tags=None):
     """Test helper: describe a video file's non-video side content.
 
