@@ -33,6 +33,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=int, default=2,
                         choices=sorted(CONFIGS))
+    parser.add_argument("--stages", default="",
+                        help="substring filter: only run matching stages")
     args = parser.parse_args()
 
     import jax
@@ -166,11 +168,16 @@ def main():
         encoder=encoder_name, batch_size=b, input_size=target,
         compute_dtype="bfloat16" if dtype == jnp.bfloat16 else "float32"))
 
-    def pipe_step(frames, state):
+    # params travel as an explicit argument: closed-over vitb/vitl weights
+    # would be serialized into the remote-compile request as constants and
+    # exceed the dev relay's HTTP body limit (observed 413 at vitb).
+    def pipe_step(params, frames, state):
         return pipe._step_impl(params, frames, state)
 
     stages.append(("pipeline_step", pipe_step,
-                   (frames, pipe.initial_state())))
+                   (params, frames, pipe.initial_state())))
+    if args.stages:
+        stages = [s for s in stages if args.stages in s[0]]
     for name, fn, fargs in stages:
         per_call, _ = device_time(fn, *fargs, k=8 if on_tpu else 2)
         print(f"{name:15s}: {per_call / b * 1000:7.3f} ms/frame", flush=True)
