@@ -53,6 +53,11 @@ def main() -> int:
                         help="where OUR pipeline runs (reference is CPU fp32)")
     parser.add_argument("--compute_dtype", default="float32",
                         choices=["float32", "bfloat16"])
+    parser.add_argument("--depth_scaler", type=float, default=None,
+                        help="override the encoder's depth rescale constant "
+                             "on BOTH sides (ours and the oracle) — used by "
+                             "real_weights_runbook.py when it calibrates a "
+                             "scaler for an off-family checkpoint")
     parser.add_argument("--spread_depth", action="store_true",
                         help="recenter+amplify the final head conv so random "
                              "weights yield depth spanning ~[0, 9] instead of "
@@ -81,7 +86,9 @@ def main() -> int:
         TorchDAV2 = load_reference_dav2()
         configs = {"vits": dict(features=64, out_channels=[48, 96, 192, 384]),
                    "vitb": dict(features=128, out_channels=[96, 192, 384, 768]),
-                   "vitl": dict(features=256, out_channels=[256, 512, 1024, 1024])}
+                   "vitl": dict(features=256, out_channels=[256, 512, 1024, 1024]),
+                   "vitg": dict(features=384,
+                                out_channels=[1536, 1536, 1536, 1536])}
         tmodel = TorchDAV2(encoder=args.encoder, device="cpu",
                            **configs[args.encoder])
         tmodel.load_state_dict(torch.load(args.encoder_path, map_location="cpu",
@@ -93,8 +100,12 @@ def main() -> int:
         tmodel = build_torch_model(args.encoder)
         weights = "seeded-random"
 
+    import dataclasses
+
     cfg = ModelConfig.for_encoder(args.encoder)
-    scaler = DEPTH_SCALERS[args.encoder]
+    scaler = (args.depth_scaler if args.depth_scaler is not None
+              else DEPTH_SCALERS[args.encoder])
+    cfg = dataclasses.replace(cfg, depth_scaler=scaler)
 
     if args.spread_depth:
         # Deep random encoders (vitl: 24 blocks) average the input away and

@@ -18,7 +18,10 @@ For each BASELINE config whose encoder checkpoint exists
      per-encoder ranges (PredictAndGenerate.py:27-34: vits max~8-9 pre-scale,
      vitb ~16-18, vitl ~550-600) and verifies the scaled range stays under
      StereoConfig.limit_step_cap — the one assumption random weights cannot
-     probe;
+     probe; off-family checkpoints (vitg — the reference defines no scaler —
+     or any fine-tune missing its family band) get a scaler CALIBRATED to
+     the family's ~[0,14] scaled range (calibrate_scaler), reported in the
+     artifact and usable in production via --depth_scaler;
   3. dumps golden depth maps (ours vs upstream torch, both real weights) and
      records mean/max deviation;
   4. runs scripts/parity_report.py end-to-end (SBS per-pixel gate) at the
@@ -38,18 +41,37 @@ import numpy as np
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
-# (encoder, height, width, offset_step_size) — BASELINE.json configs 1-5
+# (encoder, height, width, offset_step_size) — BASELINE.json configs 1-5,
+# plus 6 = vitg at 1080p (no BASELINE row: no official DA-V2 vitg checkpoint
+# exists; the row makes the runbook the one command for that day too).
 CONFIGS = {
     1: ("vits", 480, 854, 2),
     2: ("vits", 1080, 1920, 1),
     3: ("vitb", 1080, 1920, 1),
     4: ("vitl", 1440, 2560, 1),
     5: ("vitl", 2160, 3840, 1),
+    6: ("vitg", 1080, 1920, 1),
 }
 # Pre-scaler depth.max() ranges the reference's scalers were calibrated on
 # (reference PredictAndGenerate.py:27-34). Wide margins: scene-dependent.
+# None = no reference calibration exists (vitg): ALWAYS derive the scaler.
 EXPECTED_RAW_MAX = {"vits": (4.0, 14.0), "vitb": (8.0, 28.0),
-                    "vitl": (250.0, 900.0)}
+                    "vitl": (250.0, 900.0), "vitg": None}
+
+# Scaled-depth target the reference family lands on: vits 8-9 x 1.618 ~ 14.6,
+# vitb 16-18 x 0.8 ~ 14.4, vitl 550-600 x 0.0208 ~ 12.5 (all pre /14
+# normalisation, reference PredictAndGenerate.py:27-34,102-104). 13.0 sits
+# inside that family band with 2x headroom under StereoConfig.limit_step_cap.
+CAL_TARGET_MAX = 13.0
+
+
+def calibrate_scaler(raw_depth_max: float,
+                     target_max: float = CAL_TARGET_MAX) -> float:
+    """Scaler that lands a checkpoint's raw depth range on the reference
+    family's ~[0, 14] scaled range. Used for vitg (the reference defines no
+    scaler — no official checkpoint exists) and for any off-family
+    checkpoint whose raw range misses the documented band."""
+    return target_max / max(float(raw_depth_max), 1e-12)
 
 
 def synth_clip(path: str, h: int, w: int, n: int = 8, seed: int = 7) -> None:
@@ -86,7 +108,9 @@ def depth_golden(encoder: str, ckpt: str, video: str, frames: int,
     TorchDAV2 = load_reference_dav2()
     tconf = {"vits": dict(features=64, out_channels=[48, 96, 192, 384]),
              "vitb": dict(features=128, out_channels=[96, 192, 384, 768]),
-             "vitl": dict(features=256, out_channels=[256, 512, 1024, 1024])}
+             "vitl": dict(features=256, out_channels=[256, 512, 1024, 1024]),
+             "vitg": dict(features=384,
+                          out_channels=[1536, 1536, 1536, 1536])}
     tmodel = TorchDAV2(encoder=encoder, device="cpu", **tconf[encoder])
     tmodel.load_state_dict(torch.load(ckpt, map_location="cpu",
                                       weights_only=True))
@@ -114,14 +138,26 @@ def depth_golden(encoder: str, ckpt: str, video: str, frames: int,
         worst_mean = max(worst_mean, float(d.mean()))
         worst_max = max(worst_max, float(d.max()))
 
-    lo, hi = EXPECTED_RAW_MAX[encoder]
+    family = EXPECTED_RAW_MAX[encoder]
     raw_max = max(raw_maxes)
-    scaled_max = raw_max * DEPTH_SCALERS[encoder]
+    shipped = DEPTH_SCALERS[encoder]
     cap = StereoConfig().limit_step_cap
+    raw_range_ok = family is not None and family[0] <= raw_max <= family[1]
+    # Auto-calibrate when the shipped scaler was never validated for this
+    # family (vitg) or the checkpoint's raw range misses the documented band
+    # or the shipped scaler would blow the step cap (off-family fine-tune):
+    # derive scaler = target/raw_max against the reference's ~[0,14] range.
+    calibrated = (not raw_range_ok) or (raw_max * shipped > cap)
+    scaler_used = calibrate_scaler(raw_max) if calibrated else shipped
+    scaled_max = raw_max * scaler_used
     return {
         "depth_rel_mean": worst_mean, "depth_rel_max": worst_max,
-        "raw_depth_max": raw_max, "scaled_depth_max": scaled_max,
-        "raw_range_ok": lo <= raw_max <= hi,
+        "raw_depth_max": raw_max,
+        "shipped_scaler": shipped,
+        "calibrated": calibrated,
+        "scaler_used": scaler_used,
+        "scaled_depth_max": scaled_max,
+        "raw_range_ok": raw_range_ok,
         "under_step_cap": scaled_max <= cap,
         "depth_ok": worst_mean < 1e-3 and worst_max < 5e-2,
     }
@@ -178,6 +214,12 @@ def main() -> int:
                "--encoder", encoder, "--encoder_path", ckpt,
                "--input_size", str(args.input_size),
                "--device", args.device, "--compute_dtype", dtype]
+        if row["golden_depth"]["calibrated"]:
+            # the SBS parity run must use the derived scaler on both sides:
+            # with the shipped one the plane table would clip at the step cap
+            # (our side masks; the oracle's cutoff list grows unbounded)
+            cmd += ["--depth_scaler",
+                    repr(row["golden_depth"]["scaler_used"])]
         env = dict(os.environ)
         if args.device == "cpu":
             env["JAX_PLATFORMS"] = "cpu"

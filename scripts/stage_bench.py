@@ -68,41 +68,67 @@ def main():
           f"net {wn}x{hn} ({'tpu bf16' if on_tpu else 'cpu f32'})")
 
     rng = np.random.default_rng(0)
-    model = DepthAnythingV2(cfg, dtype=dtype)
-    params = random_params(model)
-
-    frames = jnp.asarray(rng.integers(0, 256, (b, h, w, 3)), jnp.uint8)
     pre_impl = "folded" if (on_tpu and dtype == jnp.bfloat16) else "exact"
+
+    # Stage inputs are built lazily through memoized prerequisite thunks so a
+    # --stages filter skips the setup (model build, warm-up jits) of every
+    # stage it excludes, not just its timing (ADVICE r4).
+    _memo = {}
+
+    def once(key, build):
+        if key not in _memo:
+            _memo[key] = build()
+        return _memo[key]
+
+    def get_frames():
+        return once("frames", lambda: jnp.asarray(
+            rng.integers(0, 256, (b, h, w, 3)), jnp.uint8))
+
+    def get_model():
+        return once("model", lambda: DepthAnythingV2(cfg, dtype=dtype))
+
+    def get_params():
+        return once("params", lambda: random_params(get_model()))
 
     def preprocess(frames):
         return preprocess_frames(frames, (hn, wn), dtype=dtype, impl=pre_impl)
 
-    x = jax.jit(preprocess)(frames)
+    def preprocess_exact(frames):
+        return preprocess_frames(frames, (hn, wn), dtype=dtype, impl="exact")
+
+    def get_x():
+        return once("x", lambda: jax.jit(preprocess)(get_frames()))
 
     def full(params, x):
-        return model.apply({"params": params}, x)
+        return get_model().apply({"params": params}, x)
 
     enc = DinoVisionTransformer(cfg, dtype=dtype)
-    enc_params = params["pretrained"]
 
     def encoder(p, x):
         return enc.apply({"params": p}, x, cfg.intermediate_layers)
 
-    taps = jax.jit(encoder)(enc_params, x)
+    def get_taps():
+        return once("taps", lambda: jax.jit(encoder)(
+            get_params()["pretrained"], get_x()))
+
     head = DPTHead(cfg, dtype=dtype)
-    head_params = params["depth_head"]
 
     def head_fn(p, taps):
         return head.apply({"params": p}, taps, ph, pw)
 
     # --- tail in isolation (timing-only weights): path1 -> depth at (hn, wn)
-    path1 = jnp.asarray(rng.standard_normal((b, ph * 8, pw * 8, cfg.features)),
-                        dtype)
-    k1 = jnp.asarray(rng.standard_normal((3, 3, cfg.features, 32)) * 0.05, dtype)
-    k2 = jnp.asarray(rng.standard_normal((3, 3, 32, 32)) * 0.05, dtype)
-    k3 = jnp.asarray(rng.standard_normal((1, 1, 32, 1)) * 0.05, dtype)
+    def get_tail_inputs():
+        def build():
+            path1 = jnp.asarray(
+                rng.standard_normal((b, ph * 8, pw * 8, cfg.features)), dtype)
+            k1 = jnp.asarray(
+                rng.standard_normal((3, 3, cfg.features, 32)) * 0.05, dtype)
+            k2 = jnp.asarray(rng.standard_normal((3, 3, 32, 32)) * 0.05, dtype)
+            k3 = jnp.asarray(rng.standard_normal((1, 1, 32, 1)) * 0.05, dtype)
+            return path1, k1, k2, k3
+        return once("tail_inputs", build)
 
-    def tail(path1):
+    def tail(path1, k1, k2, k3):
         y = jax.lax.conv_general_dilated(path1, k1, (1, 1), [(1, 1), (1, 1)],
                                          dimension_numbers=("NHWC", "HWIO", "NHWC"))
         y = resize_bilinear(y, (hn, wn), align_corners=True, dtype=dtype,
@@ -114,7 +140,9 @@ def main():
                                          dimension_numbers=("NHWC", "HWIO", "NHWC"))
         return jax.nn.relu(y[..., 0])
 
-    depth_net = jnp.asarray(rng.random((b, hn, wn), dtype=np.float32))
+    def get_depth_net():
+        return once("depth_net", lambda: jnp.asarray(
+            rng.random((b, hn, wn), dtype=np.float32)))
 
     def up_c1(d):
         return resize_bicubic(d[..., None], (h, w), align_corners=True)[..., 0]
@@ -128,11 +156,16 @@ def main():
     # realistic trip count; ranges pinned at ls=12 for a stable shape.
     from vr_video_generator_tpu.ops.warp import WarpSpec
 
-    spec = WarpSpec.create(h, w, StereoConfig(),
-                           impl="pallas" if on_tpu else "xla")
-    depth_src = jnp.asarray(rng.random((b, h, w), np.float32) * 12.0)
-    ranges = jnp.broadcast_to(
-        spec.frame_offset_range(depth_src[0])[None], (b, 2))
+    warp_impl = "pallas" if on_tpu else "xla"
+    spec = WarpSpec.create(h, w, StereoConfig(), impl=warp_impl)
+
+    def get_warp_inputs():
+        def build():
+            depth_src = jnp.asarray(rng.random((b, h, w), np.float32) * 12.0)
+            ranges = jnp.broadcast_to(
+                spec.frame_offset_range(depth_src[0])[None], (b, 2))
+            return get_frames(), depth_src, ranges
+        return once("warp_inputs", build)
 
     def warp(frames, depth_src, ranges):
         return spec.warp_batch(frames, depth_src, ranges, emit="u8")
@@ -140,46 +173,53 @@ def main():
     def warp_packed(frames, depth_src, ranges):
         return spec.warp_batch(frames, depth_src, ranges, emit="packed")
 
-    def preprocess_exact(frames):
-        return preprocess_frames(frames, (hn, wn), dtype=dtype, impl="exact")
-
-    stages = [
-        ("preprocess", preprocess, (frames,)),
-        ("preprocess_exact", preprocess_exact, (frames,)),
-        ("full_net", full, (params, x)),
-        ("encoder", encoder, (enc_params, x)),
-        ("dpt_head", head_fn, (head_params, taps)),
-        ("head_tail", tail, (path1,)),
-        ("bicubic_up_c1", up_c1, (depth_net,)),
-        ("bicubic_up_3d", up_3d, (depth_net,)),
-        ("warp", warp, (frames, depth_src, ranges)),
-    ]
-    if spec.impl == "pallas":  # production emit: packed uint32 SBS
-        stages.append(("warp_packed", warp_packed,
-                       (frames, depth_src, ranges)))
-
     # --- the full production step under the SAME in-jit scan methodology,
     # so stage sums reconcile against an e2e number measured identically
     # (bench.py's fps additionally includes host I/O overlap).
-    from vr_video_generator_tpu.pipeline import SbsPipeline
-    from vr_video_generator_tpu.utils.config import RunConfig
+    def get_pipe():
+        from vr_video_generator_tpu.pipeline import SbsPipeline
+        from vr_video_generator_tpu.utils.config import RunConfig
 
-    pipe = SbsPipeline(model, params, h, w, run_cfg=RunConfig(
-        encoder=encoder_name, batch_size=b, input_size=target,
-        compute_dtype="bfloat16" if dtype == jnp.bfloat16 else "float32"))
+        return once("pipe", lambda: SbsPipeline(
+            get_model(), get_params(), h, w, run_cfg=RunConfig(
+                encoder=encoder_name, batch_size=b, input_size=target,
+                compute_dtype="bfloat16" if dtype == jnp.bfloat16
+                else "float32")))
 
     # params travel as an explicit argument: closed-over vitb/vitl weights
     # would be serialized into the remote-compile request as constants and
     # exceed the dev relay's HTTP body limit (observed 413 at vitb).
     def pipe_step(params, frames, state):
-        return pipe._step_impl(params, frames, state)
+        return get_pipe()._step_impl(params, frames, state)
 
-    stages.append(("pipeline_step", pipe_step,
-                   (params, frames, pipe.initial_state())))
+    # (name, fn, zero-arg input builder) — inputs materialize only for the
+    # stages that survive the --stages filter.
+    stages = [
+        ("preprocess", preprocess, lambda: (get_frames(),)),
+        ("preprocess_exact", preprocess_exact, lambda: (get_frames(),)),
+        ("full_net", full, lambda: (get_params(), get_x())),
+        ("encoder", encoder,
+         lambda: (get_params()["pretrained"], get_x())),
+        ("dpt_head", head_fn,
+         lambda: (get_params()["depth_head"], get_taps())),
+        ("head_tail", tail, get_tail_inputs),
+        ("bicubic_up_c1", up_c1, lambda: (get_depth_net(),)),
+        ("bicubic_up_3d", up_3d, lambda: (get_depth_net(),)),
+        ("warp", warp, get_warp_inputs),
+    ]
+    if spec.impl == "pallas":  # production emit: packed uint32 SBS
+        stages.append(("warp_packed", warp_packed, get_warp_inputs))
+    stages.append(("pipeline_step", pipe_step, lambda: (
+        get_params(), get_frames(), get_pipe().initial_state())))
+
     if args.stages:
+        all_names = [s[0] for s in stages]
         stages = [s for s in stages if args.stages in s[0]]
-    for name, fn, fargs in stages:
-        per_call, _ = device_time(fn, *fargs, k=8 if on_tpu else 2)
+        if not stages:
+            parser.error(f"--stages {args.stages!r} matched none of "
+                         f"{all_names}")
+    for name, fn, build_args in stages:
+        per_call, _ = device_time(fn, *build_args(), k=8 if on_tpu else 2)
         print(f"{name:15s}: {per_call / b * 1000:7.3f} ms/frame", flush=True)
 
 

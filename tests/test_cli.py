@@ -53,6 +53,20 @@ def test_stereo_config_normalization_and_weights():
     assert s.max_planes(1080) > 0
 
 
+def test_depth_scaler_override_reaches_model_config():
+    """--depth_scaler (the value real_weights_runbook.py calibrates for
+    off-family checkpoints) must override the shipped per-encoder constant
+    in the ModelConfig the pipeline jits; 0 keeps the shipped value."""
+    from vr_video_generator_tpu.utils.config import DEPTH_SCALERS
+
+    cfg, _ = parse_run_config(["--encoder", "vitg"])
+    assert cfg.model_config().depth_scaler == DEPTH_SCALERS["vitg"]
+    cfg, _ = parse_run_config(["--encoder", "vitg", "--depth_scaler", "0.026"])
+    assert cfg.model_config().depth_scaler == 0.026
+    cfg, _ = parse_run_config(["--encoder", "vits", "--depth_scaler", "2.5"])
+    assert cfg.model_config().depth_scaler == 2.5
+
+
 def test_knob_flags_reach_their_subsystems(monkeypatch, tmp_path):
     """Every RunConfig knob is settable from the command line and lands in
     the component that consumes it (VERDICT r2 #8)."""

@@ -64,6 +64,72 @@ def test_runbook_pass_with_standin_checkpoint(tmp_path, encoder, configs):
         assert "PASS" in row["parity_tail"][-1]
 
 
+def test_calibrate_scaler_lands_on_family_band():
+    sys.path.insert(0, ROOT)
+    from scripts.real_weights_runbook import CAL_TARGET_MAX, calibrate_scaler
+
+    from vr_video_generator_tpu.utils.config import StereoConfig
+
+    for raw_max in (0.5, 8.7, 17.0, 580.0, 4096.0):
+        s = calibrate_scaler(raw_max)
+        assert abs(raw_max * s - CAL_TARGET_MAX) < 1e-9
+        assert raw_max * s <= StereoConfig().limit_step_cap
+    # zero-range degenerate checkpoint must not divide by zero
+    assert calibrate_scaler(0.0) > 0
+
+
+def test_runbook_calibrates_wide_range_checkpoint(tmp_path):
+    """Off-family checkpoint drill (VERDICT r4 #6): a synthetic vits .pth
+    whose final head conv is amplified far past the family's documented
+    raw-depth band (4-14, reference PredictAndGenerate.py:27-34) must get an
+    auto-CALIBRATED scaler — the shipped 1.618 would blow limit_step_cap —
+    and the runbook must carry that scaler into the SBS parity run on both
+    sides and still report PASS + under_step_cap."""
+    from tests.torch_ref import build_torch_model
+
+    model = build_torch_model("vits")
+    sd = model.state_dict()
+    # Recenter + amplify the last depth conv so raw depth spans hundreds
+    # (plain seeded-random weights land every pre-ReLU value negative ->
+    # depth identically 0), the shape of a metric-depth or off-family
+    # fine-tune.
+    sd["depth_head.scratch.output_conv2.2.weight"] = \
+        sd["depth_head.scratch.output_conv2.2.weight"] * 50.0
+    sd["depth_head.scratch.output_conv2.2.bias"] = \
+        sd["depth_head.scratch.output_conv2.2.bias"].abs() + 450.0
+    ckpt_dir = tmp_path / "checkpoints"
+    ckpt_dir.mkdir()
+    torch.save(sd, ckpt_dir / "depth_anything_v2_vits.pth")
+
+    clip = tmp_path / "tiny.mp4"
+    rng = np.random.default_rng(11)
+    w = cv2.VideoWriter(str(clip), cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                        (128, 72))
+    for _ in range(4):
+        w.write(rng.integers(0, 255, (72, 128, 3), dtype=np.uint8))
+    w.release()
+
+    out = tmp_path / "REPORT.json"
+    p = _run(["--checkpoints_dir", str(ckpt_dir), "--configs", "1",
+              "--frames", "2", "--input_size", "126", "--video", str(clip),
+              "--workdir", str(tmp_path / "work"), "--out", str(out)])
+    assert p.returncode == 0, p.stdout + p.stderr
+    artifact = json.loads(out.read_text())
+    row = artifact["rows"][0]
+    assert row["status"] == "PASS"
+    g = row["golden_depth"]
+    assert g["calibrated"] is True
+    assert g["under_step_cap"] is True
+    assert g["depth_ok"] is True
+    # the derived scaler landed the range on the family target, and the
+    # shipped scaler genuinely would have blown the cap (the trigger)
+    sys.path.insert(0, ROOT)
+    from scripts.real_weights_runbook import CAL_TARGET_MAX
+
+    assert abs(g["raw_depth_max"] * g["scaler_used"] - CAL_TARGET_MAX) < 1e-6
+    assert g["raw_depth_max"] * g["shipped_scaler"] > 24.0  # limit_step_cap
+
+
 def test_runbook_skips_missing_checkpoints(tmp_path):
     out = tmp_path / "REPORT.json"
     p = _run(["--checkpoints_dir", str(tmp_path), "--configs", "1,3",

@@ -93,6 +93,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stride_hold", type=int, default=4,
                    help="minimum consecutive full-depth batches after an "
                         "adaptive-stride trigger before re-raising")
+    p.add_argument("--depth_scaler", type=float, default=0.0,
+                   help="override the encoder's depth rescale constant "
+                        "(reference PredictAndGenerate.py:27-34). 0 = the "
+                        "shipped per-encoder value; off-family checkpoints "
+                        "(vitg, fine-tunes) should pass the value "
+                        "scripts/real_weights_runbook.py calibrates")
     p.add_argument("--warmup_frames", type=int, default=32,
                    help="decode this many frames before each segment start "
                         "to prime the temporal smoothing state (0 = "
@@ -148,6 +154,7 @@ def parse_run_config(argv: Optional[List[str]] = None
         depth_stride=args.depth_stride,
         stride_audit_every=args.stride_audit_every,
         stride_max_rms=args.stride_max_rms, stride_hold=args.stride_hold,
+        depth_scaler=args.depth_scaler,
         profile_dir=args.profile_dir, mesh_shape=mesh_shape,
     )
     return cfg, args

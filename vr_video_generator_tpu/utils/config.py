@@ -20,8 +20,9 @@ DEPTH_SCALERS = {
     "vitb": 0.8,
     "vitl": 0.0208,
     # UNVALIDATED: the reference defines no vitg scaler (no official DA-V2
-    # vitg checkpoint exists); 1.0 is a placeholder. Calibrate against a real
-    # checkpoint's depth range (target ~[0, 14]) before trusting vitg output.
+    # vitg checkpoint exists); 1.0 is a placeholder. When a checkpoint lands,
+    # scripts/real_weights_runbook.py auto-calibrates a scaler to the family's
+    # ~[0,14] scaled range — pass it via --depth_scaler / RunConfig.depth_scaler.
     "vitg": 1.0,
 }
 
@@ -230,6 +231,13 @@ class RunConfig:
     # Minimum consecutive full-depth batches after a trigger before the
     # stride may re-raise (anti-thrash hold).
     stride_hold: int = 4
+    # Depth-scaler override: 0.0 = the encoder's shipped DEPTH_SCALERS value.
+    # Off-family checkpoints (vitg has no official DA-V2 release; fine-tunes
+    # can land on arbitrary raw-depth ranges) should pass the value that
+    # scripts/real_weights_runbook.py calibrates for them (it solves
+    # scaler = target/raw_max against the reference family's ~[0,14] scaled
+    # range, reference PredictAndGenerate.py:27-34).
+    depth_scaler: float = 0.0
     # Halo warm-up: decode this many frames before each segment start to
     # prime the temporal state (the reference resets per segment — a known
     # smoothing discontinuity). The 2-tap depth history is exact after 2
@@ -248,4 +256,6 @@ class RunConfig:
             cfg = dataclasses.replace(cfg, gelu_approx=True)
         if self.mlp_fused != "auto":
             cfg = dataclasses.replace(cfg, mlp_fused=self.mlp_fused)
+        if self.depth_scaler:
+            cfg = dataclasses.replace(cfg, depth_scaler=self.depth_scaler)
         return cfg
