@@ -178,7 +178,7 @@ def device_soak(args) -> int:
         feed.append(jax.device_put(jnp.asarray(np.stack(frames))))
     reader.close()
 
-    run_cfg = RunConfig(encoder="vits", batch_size=b,
+    run_cfg = RunConfig(encoder=args.encoder, batch_size=b,
                         depth_stride=args.depth_stride,
                         input_size=args.input_size,
                         compute_dtype=args.compute_dtype)
@@ -217,6 +217,7 @@ def device_soak(args) -> int:
     half = len(ms) // 2
     artifact = {
         "mode": "device_only",
+        "encoder": args.encoder,
         "frames": done, "resolution": f"{w}x{h}",
         "depth_stride": args.depth_stride, "batch_size": b,
         "wall_s": round(wall, 1),
@@ -268,6 +269,9 @@ def main() -> int:
                     help="production-mode stride (VERDICT r3 permits stride "
                          "2 to fit wall-clock); 1 = parity mode")
     ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--encoder", default="vits",
+                    help="device_only mode: depth encoder (the 4K soak arm "
+                         "runs vitl, BASELINE config 5)")
     ap.add_argument("--max_frame_count", type=int, default=250)
     ap.add_argument("--num_workers", type=int, default=6,
                     help="concurrent encoder subprocesses")
@@ -324,6 +328,7 @@ def main() -> int:
         "--stride_audit_every", "200",
         "--Num_Workers", str(args.num_workers),
         "--end_frame", str(end_frame),
+        "--encoder", args.encoder,
         "--input_size", str(args.input_size),
         "--compute_dtype", args.compute_dtype,
         "--allow_random_weights",
