@@ -181,27 +181,41 @@ def device_soak(args) -> int:
     run_cfg = RunConfig(encoder=args.encoder, batch_size=b,
                         depth_stride=args.depth_stride,
                         input_size=args.input_size,
+                        chunk_batches=args.chunk_batches,
                         compute_dtype=args.compute_dtype)
     pipe = SbsPipeline.create(run_cfg, h, w, allow_random=True)
+    ck = args.chunk_batches
+    if ck > 1:  # chunked superstep: ck batches per dispatch (step_many)
+        feed = [jnp.stack([feed[(j + i) % len(feed)] for i in range(ck)])
+                for j in range(len(feed))]
+        step = pipe.step_many
+    else:
+        step = pipe.step
     state = pipe.initial_state()
-    sbs, state = pipe.step(feed[0], state)  # compile
-    float(jnp.sum(jnp.asarray(sbs, jnp.float32)[0, 0]))
+
+    def sync(out):  # chunked superstep returns a tuple of k batch outputs
+        arr = out[-1] if isinstance(out, tuple) else out
+        float(jnp.sum(arr[0, 0].astype(jnp.float32)))
+
+    sbs, state = step(feed[0], state)  # compile
+    sync(sbs)
 
     samples: list[dict] = []
-    sample_every = max(4, (n_frames // b) // 200)
+    sample_every = max(4, (n_frames // (b * ck)) // 200)
+    sync_every = max(1, 4 // ck)
     t0 = time.time()
     done = 0
     batch_i = 0
     step_times: list[float] = []
     tb = time.time()
     while done < n_frames:
-        sbs, state = pipe.step(feed[batch_i % len(feed)], state)
+        sbs, state = step(feed[batch_i % len(feed)], state)
         batch_i += 1
-        done += b
-        if batch_i % 4 == 0:  # bound the dispatch queue; amortized sync
-            float(jnp.sum(sbs[0, 0].astype(jnp.float32)))
+        done += b * ck
+        if batch_i % sync_every == 0:  # bound dispatch queue; amortized sync
+            sync(sbs)
             now = time.time()
-            step_times.append((now - tb) / (4 * b))
+            step_times.append((now - tb) / (sync_every * ck * b))
             tb = now
         if batch_i % sample_every == 0:
             samples.append({
@@ -209,7 +223,7 @@ def device_soak(args) -> int:
                 "rss_mb": round(_tree_rss_mb(os.getpid()), 1),
                 "device_mb": _device_mem_mb(),
             })
-    float(jnp.sum(sbs[0, 0].astype(jnp.float32)))
+    sync(sbs)
     wall = time.time() - t0
 
     dev = [s["device_mb"] for s in samples if s["device_mb"] is not None]
@@ -220,6 +234,7 @@ def device_soak(args) -> int:
         "encoder": args.encoder,
         "frames": done, "resolution": f"{w}x{h}",
         "depth_stride": args.depth_stride, "batch_size": b,
+        "chunk_batches": ck,
         "wall_s": round(wall, 1),
         "fps_device": round(done / wall, 2),
         "step_ms_per_frame": {
@@ -269,6 +284,9 @@ def main() -> int:
                     help="production-mode stride (VERDICT r3 permits stride "
                          "2 to fit wall-clock); 1 = parity mode")
     ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--chunk_batches", type=int, default=1,
+                    help="device_only mode: batches per dispatch "
+                         "(pipeline.step_many superstep; 1 = per-batch)")
     ap.add_argument("--encoder", default="vits",
                     help="device_only mode: depth encoder (the 4K soak arm "
                          "runs vitl, BASELINE config 5)")

@@ -60,11 +60,11 @@ def test_depth_scaler_override_reaches_model_config():
     from vr_video_generator_tpu.utils.config import DEPTH_SCALERS
 
     cfg, _ = parse_run_config(["--encoder", "vitg"])
-    assert cfg.model_config().depth_scaler == DEPTH_SCALERS["vitg"]
+    assert cfg.model().depth_scaler == DEPTH_SCALERS["vitg"]
     cfg, _ = parse_run_config(["--encoder", "vitg", "--depth_scaler", "0.026"])
-    assert cfg.model_config().depth_scaler == 0.026
+    assert cfg.model().depth_scaler == 0.026
     cfg, _ = parse_run_config(["--encoder", "vits", "--depth_scaler", "2.5"])
-    assert cfg.model_config().depth_scaler == 2.5
+    assert cfg.model().depth_scaler == 2.5
 
 
 def test_knob_flags_reach_their_subsystems(monkeypatch, tmp_path):

@@ -92,3 +92,105 @@ def test_depth_only(tiny_pipeline, rng):
     depth = np.asarray(tiny_pipeline.depth_only(frames))
     assert depth.shape == (2, H, W)
     assert (depth >= 0).all()
+
+
+def _states_equal(a, b):
+    import jax
+
+    la, ta = jax.tree_util.tree_flatten(a)
+    lb, tb = jax.tree_util.tree_flatten(b)
+    assert ta == tb
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_step_many_matches_sequential(tiny_pipeline, rng):
+    """The chunked superstep (one dispatch, lax.scan over k batches) is
+    bit-identical to k sequential step() calls, state included."""
+    frames = rng.integers(0, 256, (3, 4, H, W, 3), dtype=np.uint8)
+    many, st_many = tiny_pipeline.step_many(frames,
+                                            tiny_pipeline.initial_state())
+    assert isinstance(many, tuple) and len(many) == 3
+    st = tiny_pipeline.initial_state()
+    outs = []
+    for i in range(3):
+        sbs, st = tiny_pipeline.step(frames[i], st)
+        outs.append(np.asarray(sbs))
+    np.testing.assert_array_equal(
+        np.stack([np.asarray(o) for o in many]), np.stack(outs))
+    _states_equal(st_many, st)
+
+    with pytest.raises(ValueError, match="step_many"):
+        tiny_pipeline.step_many(frames[0], tiny_pipeline.initial_state())
+
+
+def test_step_many_stride2(tiny_pipeline, rng):
+    """Superstep under depth_stride=2: the anchor carry crosses scan
+    iterations exactly as it crosses host-loop batches."""
+    cfg = RunConfig(batch_size=4, input_size=56, compute_dtype="float32",
+                    depth_stride=2)
+    pipe = SbsPipeline(tiny_pipeline.model, tiny_pipeline.params, H, W,
+                       run_cfg=cfg)
+    frames = rng.integers(0, 256, (3, 4, H, W, 3), dtype=np.uint8)
+    many, st_many = pipe.step_many(frames, pipe.initial_state())
+    st = pipe.initial_state()
+    outs = []
+    for i in range(3):
+        sbs, st = pipe.step(frames[i], st)
+        outs.append(np.asarray(sbs))
+    np.testing.assert_array_equal(
+        np.stack([np.asarray(o) for o in many]), np.stack(outs))
+    _states_equal(st_many, st)
+
+
+@pytest.mark.parametrize("stride,audit_every", [(1, 0), (2, 2)])
+def test_segment_chunked_bit_identical(tmp_path, stride, audit_every,
+                                       tiny_pipeline):
+    """process_segment with chunk_batches=3 writes subclips bit-identical
+    to per-batch dispatch — including around audit probes (which flush the
+    chunk and run per-batch) and the padded final batch."""
+    import os
+
+    import cv2
+
+    from tests.test_video import write_synthetic_video
+    from vr_video_generator_tpu.runtime.segment import process_segment
+    from vr_video_generator_tpu.video.reader import VideoReader, probe_video
+    from vr_video_generator_tpu.video.writer import SubclipWriter
+
+    video = tmp_path / "in.mp4"
+    write_synthetic_video(video, 22, h=H, w=W)
+    fps, *_ = probe_video(str(video))
+    dirs = {}
+    for tag, ck in (("per_batch", 1), ("chunked", 3)):
+        cfg = RunConfig(batch_size=4, input_size=56, compute_dtype="float32",
+                        depth_stride=stride, stride_audit_every=audit_every,
+                        chunk_batches=ck)
+        pipe = SbsPipeline(tiny_pipeline.model, tiny_pipeline.params, H, W,
+                           run_cfg=cfg)
+        out_dir = str(tmp_path / tag) + os.sep
+        writer = SubclipWriter(out_dir, fps, 2 * W, H, backend="cv2")
+        with VideoReader(str(video), begin=0) as reader:
+            n = process_segment(pipe, reader, writer, 0, 22,
+                                max_frame_count=8, batch_size=4)
+        writer.close()
+        assert n == 22
+        dirs[tag] = out_dir
+
+    names = sorted(f for f in os.listdir(dirs["per_batch"])
+                   if f.endswith(".mp4"))
+    assert names == sorted(f for f in os.listdir(dirs["chunked"])
+                           if f.endswith(".mp4"))
+    assert len(names) == 3  # 8 + 8 + 6
+    for name in names:
+        ca = cv2.VideoCapture(os.path.join(dirs["per_batch"], name))
+        cb = cv2.VideoCapture(os.path.join(dirs["chunked"], name))
+        while True:
+            ra, fa = ca.read()
+            rb, fb = cb.read()
+            assert ra == rb
+            if not ra:
+                break
+            np.testing.assert_array_equal(fa, fb)
+        ca.release()
+        cb.release()

@@ -99,6 +99,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "shipped per-encoder value; off-family checkpoints "
                         "(vitg, fine-tunes) should pass the value "
                         "scripts/real_weights_runbook.py calibrates")
+    p.add_argument("--chunk_batches", type=int, default=1,
+                   help="dispatch up to k consecutive full batches as one "
+                        "jitted superstep (bit-identical output; amortizes "
+                        "per-dispatch host cost — see RunConfig). 1 = off")
     p.add_argument("--warmup_frames", type=int, default=32,
                    help="decode this many frames before each segment start "
                         "to prime the temporal smoothing state (0 = "
@@ -154,7 +158,7 @@ def parse_run_config(argv: Optional[List[str]] = None
         depth_stride=args.depth_stride,
         stride_audit_every=args.stride_audit_every,
         stride_max_rms=args.stride_max_rms, stride_hold=args.stride_hold,
-        depth_scaler=args.depth_scaler,
+        depth_scaler=args.depth_scaler, chunk_batches=args.chunk_batches,
         profile_dir=args.profile_dir, mesh_shape=mesh_shape,
     )
     return cfg, args

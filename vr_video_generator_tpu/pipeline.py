@@ -107,6 +107,47 @@ class SbsPipeline:
         Traced, so distinct values share one compilation."""
         return self._step(self.params, jnp.asarray(frames_u8), state, n_valid)
 
+    @functools.cached_property
+    def _step_many(self):
+        def impl(params, frames_u8, state):
+            # UNROLLED, not lax.scan: a scanned body must stack its k SBS
+            # outputs into one ys buffer, and on TPU that stacking is
+            # pathological either way — the natural 5D u8 ys draws a
+            # T(8,128) trailing-3 tiled layout (42x HBM inflation, 68 GB
+            # alloc = OOM at 1080p k=4), and a flattened (B, H*2W*3) ys
+            # costs a ~2.2 ms/frame u8 relayout per iteration (measured:
+            # checksum-only scan 2.76 ms/frame vs flat-ys scan 5.00).
+            # Unrolling emits k separate outputs in the per-batch output
+            # form XLA already handles well: 2.96 ms/frame at k=4 vs 3.55
+            # per-batch dispatch (2026-08-20 on-chip A/B).
+            outs = []
+            for i in range(frames_u8.shape[0]):
+                sbs, state = self._step_impl(params, frames_u8[i], state)
+                outs.append(sbs)
+            return tuple(outs), state
+
+        return jax.jit(impl, donate_argnums=(2,))
+
+    def step_many(self, frames_u8, state: TemporalState):
+        """Chunked superstep: process k FULL batches in one dispatch.
+
+        ``frames_u8``: (k, B, H, W, 3) uint8 — k whole batches; returns
+        (tuple of k SBS arrays (B, H, 2W, 3), carried state), bit-identical
+        to k sequential step() calls (the unrolled body threads
+        TemporalState exactly as the host loop would).
+
+        Why: one dispatch instead of k amortizes per-dispatch host cost —
+        the dev relay's ~28 ms/call floor, and the ~KB/dispatch native RSS
+        leak in this jax runtime (see RunConfig.chunk_batches). Short or
+        audit-probed batches must use step()/step_audited() — this program
+        takes no n_valid (every frame is real by contract).
+        """
+        fr = jnp.asarray(frames_u8)
+        if fr.ndim != 5:
+            raise ValueError(f"step_many expects (k, B, H, W, 3) uint8, "
+                             f"got shape {fr.shape}")
+        return self._step_many(self.params, fr, state)
+
     def primed_state(self, warm_frames, batch_size: int,
                      min_batches: int = 0) -> TemporalState:
         """Prime the temporal state on frames [begin-W, begin) so a segment
@@ -234,6 +275,9 @@ def _check_depth_stride(run_cfg: RunConfig) -> None:
     s = run_cfg.depth_stride
     if s < 1:
         raise ValueError(f"depth_stride must be >= 1, got {s}")
+    if run_cfg.chunk_batches < 1:
+        raise ValueError(f"chunk_batches must be >= 1, "
+                         f"got {run_cfg.chunk_batches}")
     if s > 1 and run_cfg.batch_size % s:
         raise ValueError(
             f"depth_stride={s} must divide batch_size={run_cfg.batch_size} "

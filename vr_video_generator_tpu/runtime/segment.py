@@ -155,11 +155,49 @@ def process_segment(pipeline: SbsPipeline, reader: VideoReader,
     hold = 0
     batch_idx = 0
     window = EmitWindow(discard_first, end - begin)
+    # Chunked dispatch (RunConfig.chunk_batches): consecutive full
+    # non-probe batches accumulate here and go to the device as ONE
+    # step_many superstep — bit-identical outputs, k fewer dispatches
+    # (the relay's per-call floor and the jax-runtime per-dispatch RSS
+    # leak both divide by k; see pipeline.step_many).
+    chunk_k = max(1, run_cfg.chunk_batches)
+    chunk_buf: List[np.ndarray] = []
+
+    def readback_prev() -> None:
+        nonlocal prev_sbs, pending
+        if prev_sbs is None:
+            return
+        sbs_np, n_prev = prev_sbs
+        with timer.stage("device_readback"):
+            if isinstance(sbs_np, tuple):  # chunked superstep: k outputs
+                host = np.concatenate([np.asarray(o) for o in sbs_np])
+            else:
+                host = np.asarray(sbs_np)
+        pending.extend(window.take(host[:n_prev]))
+        with timer.stage("encode"):
+            flush(force=False)
+        prev_sbs = None
+
+    def dispatch_chunk() -> None:
+        nonlocal state, prev_sbs, chunk_buf
+        if not chunk_buf:
+            return
+        k = len(chunk_buf)
+        with timer.stage("device_dispatch"):
+            if k == 1:  # reuse the per-batch program (no k=1 scan compile)
+                sbs_dev, state = pipeline.step(chunk_buf[0], state)
+            else:
+                sbs_dev, state = pipeline.step_many(np.stack(chunk_buf),
+                                                    state)
+        chunk_buf = []
+        readback_prev()
+        prev_sbs = (sbs_dev, k * batch_size)
 
     while True:
         with timer.stage("decode_wait"):
             batch = batches.get()
         if batch is None:
+            dispatch_chunk()
             break
         if isinstance(batch, BaseException):
             raise RuntimeError(
@@ -176,6 +214,18 @@ def process_segment(pipeline: SbsPipeline, reader: VideoReader,
         # final batch for output fidelity; they just don't transition.)
         probe = (audit_on and n_real == batch_size
                  and batch_idx % audit_every == 0)
+        if (chunk_k > 1 and n_real == batch_size and not probe
+                and not (adaptive and mode_full)):
+            chunk_buf.append(batch)
+            frames_done += n_real
+            batch_idx += 1
+            next_is_probe = audit_on and batch_idx % audit_every == 0
+            if len(chunk_buf) >= chunk_k or next_is_probe:
+                dispatch_chunk()
+            if frames_done % (batch_size * report_every) == 0:
+                meter.report(frames_done)
+            continue
+        dispatch_chunk()  # order-preserving flush before any per-batch path
         if adaptive and (mode_full or probe):
             with timer.stage("device_dispatch"):
                 sbs_dev, state, rms, mx = pipeline.step_audited(
@@ -209,24 +259,14 @@ def process_segment(pipeline: SbsPipeline, reader: VideoReader,
                     pipeline.spec.cfg.limit_step_cap))
             with timer.stage("device_dispatch"):
                 sbs_dev, state = pipeline.step(batch, state, n_valid=n_real)
-        if prev_sbs is not None:
-            sbs_np, n_prev = prev_sbs
-            with timer.stage("device_readback"):
-                host = np.asarray(sbs_np)
-            pending.extend(window.take(host[:n_prev]))
-            with timer.stage("encode"):
-                flush(force=False)
+        readback_prev()
         prev_sbs = (sbs_dev, n_real)
         frames_done += n_real
         batch_idx += 1
         if frames_done % (batch_size * report_every) == 0:
             meter.report(frames_done)
 
-    if prev_sbs is not None:
-        sbs_np, n_prev = prev_sbs
-        with timer.stage("device_readback"):
-            host = np.asarray(sbs_np)
-        pending.extend(window.take(host[:n_prev]))
+    readback_prev()
     with timer.stage("encode"):
         flush(force=True)
         writer.wait()

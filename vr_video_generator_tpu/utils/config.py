@@ -238,6 +238,16 @@ class RunConfig:
     # scaler = target/raw_max against the reference family's ~[0,14] scaled
     # range, reference PredictAndGenerate.py:27-34).
     depth_scaler: float = 0.0
+    # Chunked dispatch: the segment runtime groups up to this many
+    # consecutive full batches into ONE jitted superstep (lax.scan over the
+    # per-batch step, state carried inside the program — bit-identical to
+    # per-batch dispatch). Amortizes per-dispatch host cost: the dev relay
+    # has a ~28 ms/call dispatch floor, and jax 0.9.0's PJRT leaks ~1-7 KB
+    # of native host RSS per dispatch (reproduced with a trivial jitted op
+    # on the plain CPU backend — docs/BENCHLOG.md round 5), so chunking by k
+    # divides both. Audit/probe batches and adaptive full-depth spans stay
+    # per-batch (they need the per-batch rms readback). 1 = off.
+    chunk_batches: int = 1
     # Halo warm-up: decode this many frames before each segment start to
     # prime the temporal state (the reference resets per segment — a known
     # smoothing discontinuity). The 2-tap depth history is exact after 2
