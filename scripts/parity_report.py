@@ -34,10 +34,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
-    from vr_video_generator_tpu.utils.cache import honor_platform_env
+    from vr_video_generator_tpu.utils.cache import (enable_compilation_cache,
+                                                    honor_platform_env)
     from vr_video_generator_tpu.utils.devwatch import watch_backend_init
 
     honor_platform_env()
+    enable_compilation_cache()
     watch_backend_init()  # diagnose a dead TPU relay instead of hanging
     parser = argparse.ArgumentParser()
     parser.add_argument("--video", required=True)

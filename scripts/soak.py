@@ -37,7 +37,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from vr_video_generator_tpu.utils.cache import honor_platform_env  # noqa: E402
+from vr_video_generator_tpu.utils.cache import (enable_compilation_cache,  # noqa: E402
+                                                honor_platform_env)
 from vr_video_generator_tpu.utils.devwatch import (require_backend,  # noqa: E402
                                                    watch_backend_init)
 
@@ -302,6 +303,7 @@ def main() -> int:
     args = ap.parse_args()
 
     honor_platform_env()
+    enable_compilation_cache()  # relay compiles are minutes-cold without it
     done = watch_backend_init()
 
     if args.device_only:
